@@ -1,0 +1,18 @@
+"""uig — a TPU-native framework for unpaired image generation & translation.
+
+Built from scratch in JAX/XLA/Pallas with the capability surface of
+EleutherAI/Unpaired-Image-Generation (reference is an empty stub —
+``/root/reference/README.md:1`` is its only line; the capability spec is
+derived in SURVEY.md from the unpaired-translation domain + BASELINE.json):
+
+* ResNet-block generators + PatchGAN discriminators (flax, NHWC, bf16 compute)
+* adversarial (LSGAN/vanilla/hinge) + cycle + identity + LPIPS + PatchNCE losses
+* alternating G/D Adam steps compiled into a single XLA program per train step
+* on-device fused augmentation (random-crop / flip / normalize) as Pallas and
+  XLA kernels so the TPU never stalls on host preprocessing
+* data-parallel training over a ``jax.sharding.Mesh`` with gradient ``pmean``
+  over the ICI (``shard_map``); multi-host DP over DCN
+* EMA generator weights, exact checkpoint/resume (orbax), FID eval, CLIs
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,241 @@
+"""Typed dataclass config tree with dotted-path CLI overrides.
+
+Capability spec: SURVEY.md §2 "Config system" / §5 "Config/flag system"
+(reference repo is an empty stub — /root/reference/README.md:1 — so the
+surface here is derived from BASELINE.json's five config rungs).
+
+Design: a frozen nested dataclass tree; presets (uig/config/presets.py) give
+one named ``Config`` per BASELINE.json rung; ``apply_overrides`` implements
+``--opt.lr=1e-4``-style dotted overrides; every run dumps its resolved config
+(``config_to_dict`` → json) next to its checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Generator/discriminator architecture knobs."""
+
+    kind: str = "cyclegan"  # cyclegan | cut | vqgan
+    image_size: int = 256  # output (crop) resolution, square
+    in_channels: int = 3
+    out_channels: int = 3
+    # ResNet generator (c7s1-64, d128, d256, R256 x n_res_blocks, u128, u64, c7s1-3)
+    g_base_features: int = 64
+    n_res_blocks: int = 9
+    upsample: str = "conv_transpose"  # conv_transpose | resize_conv
+    norm: str = "instance"  # instance | group | none
+    padding: str = "reflect"  # reflect | zeros
+    # PatchGAN discriminator
+    d_base_features: int = 64
+    d_layers: int = 3  # 3 => 70x70 receptive field
+    # dtypes: params fp32 always; compute dtype selectable (bf16 on TPU train,
+    # fp32 for bit-exact eval — BASELINE.json north_star fidelity clause).
+    compute_dtype: str = "bfloat16"
+    eval_dtype: str = "float32"
+    # VQGAN (rung 5)
+    vq_embed_dim: int = 256
+    vq_codebook_size: int = 1024
+    vq_channel_mults: tuple[int, ...] = (1, 1, 2, 2, 4)
+    vq_base_features: int = 128
+    vq_attn_resolutions: tuple[int, ...] = (32,)
+    vq_beta: float = 0.25  # commitment cost
+    attn_impl: str = "pallas"  # pallas | xla
+    # CUT (rung 4)
+    nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
+    nce_patches: int = 256
+    nce_proj_dim: int = 256
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge
+    lambda_cycle: float = 10.0
+    lambda_identity: float = 0.5  # multiplied by lambda_cycle (CycleGAN recipe)
+    lambda_lpips: float = 0.0
+    lambda_nce: float = 1.0  # CUT
+    nce_temperature: float = 0.07
+    nce_include_identity: bool = True  # CUT: NCE on idt pass (Y->Y)
+    lambda_vq_adv: float = 1.0  # VQGAN generator adversarial weight
+    vq_disc_start: int = 0  # step at which D loss turns on (VQGAN warmup)
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    optimizer: str = "adam"
+    lr: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0  # 0 disables
+    # linear decay to 0 after `decay_start_step`, reaching 0 at `total_steps`
+    total_steps: int = 200_000
+    decay_start_step: int = 100_000
+    ema_decay: float = 0.999
+    pool_size: int = 50  # replay buffer (per data-parallel shard)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    source: str = "synthetic"  # synthetic | folders
+    dir_a: str = ""
+    dir_b: str = ""
+    load_size: int = 286  # host resize target; device crops to image_size
+    batch_size: int = 1  # GLOBAL batch size (sharded over the data axis)
+    shuffle_seed: int = 0
+    num_workers: int = 4
+    prefetch: int = 2
+    augment: str = "pallas"  # pallas | xla | none (none = center crop)
+    synthetic_len: int = 200  # images per domain for the synthetic set
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all local devices
+    multihost: bool = False  # call jax.distributed.initialize()
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    fid_num_samples: int = 500
+    fid_features: str = "auto"  # auto | inception | random
+    inception_weights: str = ""  # optional .npz path (zero-egress environment)
+    sample_grid_every: int = 1000
+    sample_grid_n: int = 4
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    name: str = "run"
+    workdir: str = "/tmp/uig_runs"
+    log_every: int = 50
+    ckpt_every: int = 1000
+    ckpt_keep: int = 3
+    seed: int = 0
+    profile_steps: tuple[int, int] = (0, 0)  # (start, stop); equal = disabled
+    tensorboard: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+
+# ---------------------------------------------------------------------------
+# dict round-trip + dotted-path overrides
+# ---------------------------------------------------------------------------
+
+
+def config_to_dict(cfg: Any) -> dict:
+    """Recursively convert a (nested) dataclass to plain JSON-able dicts."""
+    out = {}
+    for f in fields(cfg):
+        v = getattr(cfg, f.name)
+        if is_dataclass(v):
+            out[f.name] = config_to_dict(v)
+        elif isinstance(v, tuple):
+            out[f.name] = list(v)
+        else:
+            out[f.name] = v
+    return out
+
+
+def config_from_dict(d: dict, cls: type = Config) -> Any:
+    """Inverse of config_to_dict (unknown keys rejected loudly)."""
+    kwargs = {}
+    field_map = {f.name: f for f in fields(cls)}
+    for k, v in d.items():
+        if k not in field_map:
+            raise KeyError(f"unknown config field {cls.__name__}.{k}")
+        f = field_map[k]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[k] = config_from_dict(v, f.type)
+        elif isinstance(v, dict):
+            # nested dataclass declared via string annotation
+            sub = _resolve_dataclass(cls, f.name)
+            kwargs[k] = config_from_dict(v, sub)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def _resolve_dataclass(cls: type, name: str) -> type:
+    for f in fields(cls):
+        if f.name == name:
+            t = f.type
+            if isinstance(t, str):
+                t = globals()[t]
+            return t
+    raise KeyError(name)
+
+
+def _coerce(old: Any, raw: str) -> Any:
+    """Coerce a CLI string to the type of the existing value."""
+    if isinstance(old, bool):
+        if raw.lower() in ("1", "true", "yes"):
+            return True
+        if raw.lower() in ("0", "false", "no"):
+            return False
+        raise ValueError(f"cannot parse bool from {raw!r}")
+    if isinstance(old, int) and not isinstance(old, bool):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    if isinstance(old, tuple):
+        parts = [p for p in raw.strip("()[] ").split(",") if p != ""]
+        elem = old[0] if old else 0
+        return tuple(type(elem)(p) for p in parts)
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: dict[str, str] | list[str]) -> Config:
+    """Apply ``{"opt.lr": "1e-4"}`` or ``["opt.lr=1e-4"]`` style overrides."""
+    if isinstance(overrides, list):
+        pairs = {}
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(f"override {item!r} is not key=value")
+            k, v = item.split("=", 1)
+            pairs[k.lstrip("-")] = v
+        overrides = pairs
+    for path, raw in overrides.items():
+        parts = path.split(".")
+        cfg = _replace_path(cfg, parts, raw)
+    return cfg
+
+
+def _replace_path(node: Any, parts: list[str], raw: str) -> Any:
+    head = parts[0]
+    if not hasattr(node, head):
+        raise KeyError(f"no config field {head!r} on {type(node).__name__}")
+    cur = getattr(node, head)
+    if len(parts) == 1:
+        new = raw if not isinstance(raw, str) else _coerce(cur, raw)
+        return dataclasses.replace(node, **{head: new})
+    return dataclasses.replace(node, **{head: _replace_path(cur, parts[1:], raw)})
+
+
+def dump_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2, sort_keys=True)
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        return config_from_dict(json.load(f))

@@ -1,0 +1,119 @@
+"""Named presets — one per BASELINE.json config rung.
+
+BASELINE.json `configs` (the reference repo itself is an empty stub,
+/root/reference/README.md:1, so these rungs are the authoritative ladder):
+
+1. 64² ResNet G + 3-layer PatchGAN, CycleGAN losses, 200-image subset,
+   single-host CPU, batch=1.
+2. 128² full CycleGAN (2G+2D, replay buffer), single TPU chip.
+3. 256² CycleGAN + identity/LPIPS, data-parallel, on-device augmentation.
+4. 256² CUT-style contrastive unpaired translation with EMA, multi-host DP.
+5. 512² VQGAN-style generator (codebook + discriminator) with Pallas
+   attention blocks — stretch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from uig.config.config import (
+    Config,
+    DataConfig,
+    EvalConfig,
+    LossConfig,
+    ModelConfig,
+    OptConfig,
+    ParallelConfig,
+    RunConfig,
+)
+
+
+def _smoke64() -> Config:
+    return Config(
+        model=ModelConfig(
+            kind="cyclegan",
+            image_size=64,
+            n_res_blocks=6,
+            d_layers=3,
+            compute_dtype="float32",
+        ),
+        loss=LossConfig(gan_mode="lsgan"),
+        opt=OptConfig(total_steps=2000, decay_start_step=1000, pool_size=50),
+        data=DataConfig(
+            source="synthetic",
+            load_size=72,
+            batch_size=1,
+            augment="xla",
+            synthetic_len=200,
+        ),
+        run=RunConfig(name="smoke64", log_every=10, ckpt_every=200),
+    )
+
+
+def _cyclegan128() -> Config:
+    return Config(
+        model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6),
+        loss=LossConfig(gan_mode="lsgan"),
+        opt=OptConfig(total_steps=100_000, decay_start_step=50_000),
+        data=DataConfig(load_size=143, batch_size=1, augment="pallas"),
+        run=RunConfig(name="cyclegan128"),
+    )
+
+
+def _cyclegan256_dp() -> Config:
+    return Config(
+        model=ModelConfig(kind="cyclegan", image_size=256, n_res_blocks=9),
+        loss=LossConfig(gan_mode="lsgan", lambda_lpips=1.0),
+        opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="cyclegan256_dp"),
+    )
+
+
+def _cut256_multihost() -> Config:
+    return Config(
+        model=ModelConfig(kind="cut", image_size=256, n_res_blocks=9),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=0.0, lambda_identity=0.0,
+                        lambda_nce=1.0),
+        opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=16, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0, multihost=True),
+        run=RunConfig(name="cut256_multihost"),
+    )
+
+
+def _vqgan512() -> Config:
+    return Config(
+        model=ModelConfig(
+            kind="vqgan",
+            image_size=512,
+            vq_base_features=128,
+            vq_channel_mults=(1, 1, 2, 2, 4),
+            vq_attn_resolutions=(32,),
+            attn_impl="pallas",
+        ),
+        loss=LossConfig(gan_mode="hinge", lambda_vq_adv=0.8, vq_disc_start=10_000),
+        opt=OptConfig(lr=4.5e-6, b1=0.5, b2=0.9, total_steps=500_000,
+                      decay_start_step=500_000),
+        data=DataConfig(load_size=512, batch_size=4, augment="pallas"),
+        run=RunConfig(name="vqgan512"),
+    )
+
+
+PRESETS = {
+    "smoke64": _smoke64,
+    "cyclegan128": _cyclegan128,
+    "cyclegan256_dp": _cyclegan256_dp,
+    "cut256_multihost": _cut256_multihost,
+    "vqgan512": _vqgan512,
+}
+
+
+def get_preset(name: str, **replacements) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if replacements:
+        cfg = dataclasses.replace(cfg, **replacements)
+    return cfg

@@ -1,0 +1,103 @@
+"""Index-addressable image datasets — host side of L2 (SURVEY.md §2 "Input
+pipeline").
+
+Two sources:
+  * FolderDataset — a directory of image files; host decodes (PIL) and
+    resizes to ``load_size`` (the documented host/device boundary — JPEG
+    Huffman decode is not TPU-expressible, SURVEY.md §7). Decoded arrays are
+    uint8 NHWC; all later stages run on device.
+  * SyntheticUnpairedDataset — deterministic procedural two-domain images
+    ("blobs" vs "stripes") for tests and benches; no files, no egress.
+    Index-addressable and seed-stable so golden tests are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class FolderDataset:
+    def __init__(self, root: str, load_size: int):
+        self.root = root
+        self.load_size = load_size
+        self.files = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.lower().endswith(_IMG_EXTS)
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.files[idx]) as im:
+            im = im.convert("RGB")
+            s = self.load_size
+            im = im.resize((s, s), Image.BICUBIC)
+            return np.asarray(im, dtype=np.uint8)
+
+
+class _SyntheticDomain:
+    """One procedural domain; index i → deterministic uint8 image."""
+
+    def __init__(self, kind: str, n: int, size: int, seed: int):
+        self.kind = kind
+        self.n = n
+        self.size = size
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, hash(self.kind) & 0xFFFF, idx))
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        if self.kind == "blobs":
+            img = np.stack([0.2 + 0.6 * yy, 0.3 * np.ones_like(yy), 0.2 + 0.6 * xx], -1)
+            for _ in range(rng.integers(2, 6)):
+                cy, cx = rng.uniform(0.15, 0.85, 2)
+                r = rng.uniform(0.05, 0.25)
+                col = rng.uniform(0.2, 1.0, 3)
+                mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r**2
+                img[mask] = col
+        elif self.kind == "stripes":
+            freq = rng.uniform(4, 16)
+            phase = rng.uniform(0, 2 * np.pi)
+            angle = rng.uniform(0, np.pi)
+            t = np.cos(angle) * xx + np.sin(angle) * yy
+            wave = 0.5 + 0.5 * np.sin(2 * np.pi * freq * t + phase)
+            base = rng.uniform(0.1, 0.9, 3)
+            img = wave[..., None] * base + (1 - wave[..., None]) * (1 - base)
+        else:
+            raise ValueError(self.kind)
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+class SyntheticUnpairedDataset:
+    """Two unpaired procedural domains (A: blobs, B: stripes)."""
+
+    def __init__(self, n: int = 200, load_size: int = 72, seed: int = 0):
+        self.domain_a = _SyntheticDomain("blobs", n, load_size, seed)
+        self.domain_b = _SyntheticDomain("stripes", n, load_size, seed + 1)
+
+    def write_png_dirs(self, root: str) -> tuple[str, str]:
+        """Materialize both domains as PNG trees (tests the folder path)."""
+        from PIL import Image
+
+        dirs = []
+        for name, dom in (("trainA", self.domain_a), ("trainB", self.domain_b)):
+            d = os.path.join(root, name)
+            os.makedirs(d, exist_ok=True)
+            for i in range(len(dom)):
+                Image.fromarray(dom[i]).save(os.path.join(d, f"{i:05d}.png"))
+            dirs.append(d)
+        return dirs[0], dirs[1]

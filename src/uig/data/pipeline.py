@@ -1,0 +1,214 @@
+"""Unpaired two-domain input pipeline — L2 (SURVEY.md §2 "Input pipeline",
+§3 stack 1).
+
+Host side: per-host sharded index streams, per-epoch shuffles driven by
+(seed, epoch), worker threads decode/resize to ``load_size`` uint8, and a
+bounded prefetch queue of already-device-put batches keeps the TPU fed (the
+BASELINE.json "input-pipeline stall %" metric measures exactly this queue
+running dry).
+
+Device side: batches are uint8 (B, load, load, C) placed with leading-axis
+sharding over the ``data`` mesh axis; random crop/flip/normalize happen
+*inside* the jitted train step (uig.kernels.augment), so the host never
+touches float pixels.
+
+Determinism/checkpointing design: the batch stream is a PURE FUNCTION of
+(seed, batch_counter) — batch ``t``'s indices are computed from the global
+stream position ``t·B`` through per-epoch permutations, with no mutable
+sampler state. The iterator checkpoint is therefore a single integer (the
+count of *consumed* batches), and prefetch depth cannot desynchronize resume
+(exercised by tests/integration/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class _DomainStream:
+    """Pure-function index stream: position -> dataset index."""
+
+    def __init__(self, n: int, seed: int, host_index: int, host_count: int):
+        self.n = n
+        self.seed = seed
+        self.host_index = host_index
+        self.host_count = host_count
+        # per-host epoch length (hosts stride the global permutation)
+        self.epoch_len = len(range(host_index, n, host_count))
+        self._perm_cache: dict[int, np.ndarray] = {}
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        if epoch not in self._perm_cache:
+            rng = np.random.default_rng((self.seed, epoch))
+            perm = rng.permutation(self.n)[self.host_index :: self.host_count]
+            self._perm_cache.clear()  # keep at most one epoch cached
+            self._perm_cache[epoch] = perm
+        return self._perm_cache[epoch]
+
+    def indices_at(self, start: int, k: int) -> list[int]:
+        out = []
+        for g in range(start, start + k):
+            epoch, pos = divmod(g, self.epoch_len)
+            out.append(int(self._perm(epoch)[pos]))
+        return out
+
+
+class UnpairedPipeline:
+    """Infinite iterator of (batch_a, batch_b) uint8 device arrays."""
+
+    def __init__(
+        self,
+        dataset_a,
+        dataset_b,
+        batch_size_local: int,
+        mesh=None,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        self.a = dataset_a
+        self.b = dataset_b
+        self.batch = batch_size_local
+        self.mesh = mesh
+        self.stream_a = _DomainStream(len(dataset_a), seed, host_index, host_count)
+        self.stream_b = _DomainStream(
+            len(dataset_b), seed + 0x9E3779B9, host_index, host_count
+        )
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self._t_next = 0  # next batch counter the producer will build
+        self._t_consumed = 0  # batches handed to the trainer
+        self._q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._pool = None
+        self._sharding = None
+        if mesh is not None:
+            from uig.runtime.mesh import batch_sharding
+
+            self._sharding = batch_sharding(mesh)
+
+    # ---------------- host production ----------------
+    def _load_batch(self, t: int) -> tuple[np.ndarray, np.ndarray]:
+        ia = self.stream_a.indices_at(t * self.batch, self.batch)
+        ib = self.stream_b.indices_at(t * self.batch, self.batch)
+        if self.num_workers > 1 and self.batch > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            imgs_a = list(self._pool.map(self.a.__getitem__, ia))
+            imgs_b = list(self._pool.map(self.b.__getitem__, ib))
+        else:
+            imgs_a = [self.a[i] for i in ia]
+            imgs_b = [self.b[i] for i in ib]
+        return np.stack(imgs_a), np.stack(imgs_b)
+
+    def _put_device(self, pair):
+        if self.mesh is None:
+            return pair
+        import jax
+
+        if jax.process_count() > 1:
+            from uig.runtime.mesh import shard_batch
+
+            return shard_batch(self.mesh, pair)
+        return tuple(jax.device_put(x, self._sharding) for x in pair)
+
+    def _producer(self) -> None:
+        while not self._stop.is_set():
+            t = self._t_next
+            dev = self._put_device(self._load_batch(t))
+            while not self._stop.is_set():
+                try:
+                    self._q.put((t, dev), timeout=0.1)
+                    self._t_next = t + 1
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self) -> "UnpairedPipeline":
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._producer, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._thread is None:
+            pair = self._put_device(self._load_batch(self._t_consumed))
+            self._t_consumed += 1
+            return pair
+        while True:
+            t, dev = self._q.get()
+            if t == self._t_consumed:  # drop stale prefetches after a restore
+                self._t_consumed += 1
+                return dev
+
+    # ---------------- checkpointing ----------------
+    def state_dict(self) -> dict:
+        return {"t_consumed": self._t_consumed}
+
+    def load_state_dict(self, s: dict) -> None:
+        running = self._thread is not None
+        if running:
+            self.stop()
+        self._t_consumed = int(s["t_consumed"])
+        self._t_next = self._t_consumed
+        if running:
+            self.start()
+
+
+def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
+    """Build the pipeline from a Config (SURVEY.md §3 stack 1 entry)."""
+    import jax
+
+    from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
+
+    d = cfg.data
+    if d.source == "synthetic":
+        syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
+        ds_a, ds_b = syn.domain_a, syn.domain_b
+    elif d.source == "folders":
+        ds_a = FolderDataset(d.dir_a, d.load_size)
+        ds_b = FolderDataset(d.dir_b, d.load_size)
+    else:
+        raise ValueError(f"unknown data source {d.source!r}")
+
+    host_count = jax.process_count()
+    local_batch = d.batch_size // host_count
+    if local_batch * host_count != d.batch_size:
+        raise ValueError(
+            f"global batch {d.batch_size} not divisible by {host_count} hosts"
+        )
+    pipe = UnpairedPipeline(
+        ds_a,
+        ds_b,
+        local_batch,
+        mesh=mesh,
+        seed=d.shuffle_seed,
+        num_workers=d.num_workers,
+        prefetch=d.prefetch,
+        host_index=jax.process_index(),
+        host_count=host_count,
+    )
+    return pipe.start() if start else pipe

@@ -1,0 +1,11 @@
+from uig.models.layers import InstanceNorm, PadConv, ResnetBlock
+from uig.models.patch_disc import PatchDiscriminator
+from uig.models.resnet_gen import ResNetGenerator
+
+__all__ = [
+    "InstanceNorm",
+    "PadConv",
+    "ResnetBlock",
+    "ResNetGenerator",
+    "PatchDiscriminator",
+]

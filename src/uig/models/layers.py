@@ -1,0 +1,154 @@
+"""Core NHWC building blocks (SURVEY.md §2 "ResNet generator" row).
+
+TPU-first choices:
+  * NHWC layout throughout — the native conv layout for XLA:TPU; the MXU sees
+    convs as (spatial·batch) × Cin × Cout matmuls with C on the lanes.
+  * params are fp32; compute dtype is a knob (bf16 for training, fp32 for the
+    bit-exact eval path — BASELINE.json north_star fidelity clause).
+  * instance-norm statistics are always accumulated in fp32 regardless of the
+    compute dtype (bf16 mean/var at 256² spatial is not accurate enough).
+
+The reference repo contains no model code (empty stub,
+/root/reference/README.md:1); module semantics follow the canonical CycleGAN
+architecture described in SURVEY.md §2 and are oracle-tested against
+hand-written torch-CPU implementations in tests/unit/test_layers_oracle.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class InstanceNorm(nn.Module):
+    """Per-example, per-channel normalization over spatial dims (NHWC).
+
+    Equivalent to torch InstanceNorm2d(affine=True, eps=eps) with
+    track_running_stats=False: stats are always computed from the batch, in
+    train and eval alike, so there is no batch-size coupling and nothing to
+    psum across data-parallel shards (SURVEY.md §7 "Instance norm at batch=1
+    under DP").
+    """
+
+    eps: float = 1e-5
+    affine: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def _norm(kind: str, dtype) -> Callable[[], nn.Module]:
+    if kind == "instance":
+        return lambda: InstanceNorm(dtype=dtype)
+    if kind == "group":
+        return lambda: nn.GroupNorm(num_groups=32, dtype=dtype)
+    if kind == "none":
+        return lambda: (lambda x: x)
+    raise ValueError(f"unknown norm {kind!r}")
+
+
+def pad2d(x: jax.Array, p: int, mode: str) -> jax.Array:
+    """Spatial padding for NHWC. mode: reflect | zeros."""
+    if p == 0:
+        return x
+    widths = ((0, 0), (p, p), (p, p), (0, 0))
+    if mode == "reflect":
+        return jnp.pad(x, widths, mode="reflect")
+    if mode == "zeros":
+        return jnp.pad(x, widths)
+    raise ValueError(f"unknown padding mode {mode!r}")
+
+
+class PadConv(nn.Module):
+    """Explicitly padded conv: pad (reflect/zeros) then VALID conv.
+
+    Matches the canonical generator's ReflectionPad2d+Conv2d pairing while
+    keeping a single lax.conv for XLA to tile onto the MXU.
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    pad_mode: str = "reflect"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = pad2d(x, self.pad, self.pad_mode)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.02),
+        )(x)
+
+
+class UpsampleConv(nn.Module):
+    """2x upsampling: conv_transpose (canonical) or resize+conv (no
+    checkerboard artifacts; often faster on TPU because it lowers to a plain
+    conv after a cheap nearest resize)."""
+
+    features: int
+    method: str = "conv_transpose"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.method == "conv_transpose":
+            # 3x3 stride-2 transposed conv, output = 2x input spatial
+            # (torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) shape).
+            return nn.ConvTranspose(
+                self.features,
+                (3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+            )(x)
+        if self.method == "resize_conv":
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+            return PadConv(self.features, 3, pad=1, pad_mode="zeros",
+                           dtype=self.dtype)(x)
+        raise ValueError(f"unknown upsample method {self.method!r}")
+
+
+class ResnetBlock(nn.Module):
+    """CycleGAN residual block: [pad1 conv3 IN ReLU pad1 conv3 IN] + skip."""
+
+    features: int
+    norm: str = "instance"
+    pad_mode: str = "reflect"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        norm = _norm(self.norm, self.dtype)
+        h = PadConv(self.features, 3, pad=1, pad_mode=self.pad_mode,
+                    dtype=self.dtype)(x)
+        h = norm()(h)
+        h = nn.relu(h)
+        h = PadConv(self.features, 3, pad=1, pad_mode=self.pad_mode,
+                    dtype=self.dtype)(h)
+        h = norm()(h)
+        return x + h

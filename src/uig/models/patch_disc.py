@@ -1,0 +1,46 @@
+"""70×70 PatchGAN discriminator (SURVEY.md §2 "PatchGAN discriminator" row).
+
+C64 → C128 → C256 → C512 → 1-channel logit map. 4×4 convs, stride 2 on the
+first ``n_layers`` blocks then stride 1; instance norm on all but the first
+block; LeakyReLU(0.2). Output is an (B, h', w', 1) logit map — the loss
+averages over patches (uig/train/losses.py).
+
+Reference repo has no discriminator (empty stub, /root/reference/README.md:1);
+semantics oracle-tested vs a hand-written torch model in tests/unit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uig.models.layers import InstanceNorm, PadConv
+
+
+class PatchDiscriminator(nn.Module):
+    base_features: int = 64
+    n_layers: int = 3
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = self.dtype
+        x = x.astype(dt)
+        f = self.base_features
+        x = PadConv(f, 4, stride=2, pad=1, pad_mode="zeros", dtype=dt)(x)
+        x = nn.leaky_relu(x, 0.2)
+        mult = 1
+        for i in range(1, self.n_layers):
+            mult = min(2**i, 8)
+            x = PadConv(f * mult, 4, stride=2, pad=1, pad_mode="zeros",
+                        use_bias=False, dtype=dt)(x)
+            x = InstanceNorm(dtype=dt)(x)
+            x = nn.leaky_relu(x, 0.2)
+        mult = min(2**self.n_layers, 8)
+        x = PadConv(f * mult, 4, stride=1, pad=1, pad_mode="zeros",
+                    use_bias=False, dtype=dt)(x)
+        x = InstanceNorm(dtype=dt)(x)
+        x = nn.leaky_relu(x, 0.2)
+        return PadConv(1, 4, stride=1, pad=1, pad_mode="zeros", dtype=dt)(x)

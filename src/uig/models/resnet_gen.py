@@ -1,0 +1,101 @@
+"""ResNet-block generator (SURVEY.md §2 "ResNet generator" row).
+
+Architecture (canonical CycleGAN topology, derived in SURVEY.md — the
+reference repo has no code, /root/reference/README.md:1):
+
+    c7s1-64 → d128 → d256 → R256 × n (6 @128², 9 @256²) → u128 → u64 → c7s1-3, tanh
+
+TPU-first details:
+  * NHWC, fp32 params, selectable compute dtype (bf16 train / fp32 eval).
+  * the whole forward is one fusion-friendly chain of lax.convs — no python
+    control flow, static shapes, so jit compiles one XLA program that keeps
+    the MXU busy end to end.
+  * ``extract_until``/feature taps support the CUT/PatchNCE variant: the
+    layer list is flat, so nce_layers index into it directly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uig.models.layers import InstanceNorm, PadConv, ResnetBlock, UpsampleConv
+
+
+class ResNetGenerator(nn.Module):
+    out_channels: int = 3
+    base_features: int = 64
+    n_res_blocks: int = 9
+    norm: str = "instance"
+    pad_mode: str = "reflect"
+    upsample: str = "conv_transpose"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        f = self.base_features
+        dt = self.dtype
+        layers: list = []
+        # stem: c7s1-64
+        layers += [
+            PadConv(f, 7, pad=3, pad_mode=self.pad_mode, dtype=dt),
+            InstanceNorm(dtype=dt),
+            "relu",
+        ]
+        # downsample: d128, d256
+        for mult in (2, 4):
+            layers += [
+                PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros", dtype=dt),
+                InstanceNorm(dtype=dt),
+                "relu",
+            ]
+        # residual trunk
+        for _ in range(self.n_res_blocks):
+            layers += [
+                ResnetBlock(f * 4, norm=self.norm, pad_mode=self.pad_mode, dtype=dt)
+            ]
+        # upsample: u128, u64
+        for mult in (2, 1):
+            layers += [
+                UpsampleConv(f * mult, method=self.upsample, dtype=dt),
+                InstanceNorm(dtype=dt),
+                "relu",
+            ]
+        # head: c7s1-3 + tanh
+        layers += [
+            PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode, dtype=dt),
+            "tanh",
+        ]
+        self.layers = layers
+
+    def _run(self, x: jax.Array, taps: Sequence[int] | None):
+        feats = []
+        x = x.astype(self.dtype)
+        for i, layer in enumerate(self.layers):
+            if layer == "relu":
+                x = nn.relu(x)
+            elif layer == "tanh":
+                x = jnp.tanh(x)
+            else:
+                x = layer(x)
+            if taps is not None and i in taps:
+                feats.append(x)
+        return x, feats
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y, _ = self._run(x, None)
+        return y
+
+    def with_features(self, x: jax.Array, taps: Sequence[int]):
+        """Forward pass returning (output, [features at layer indices]).
+
+        Used by the CUT trainer's PatchNCE loss (encoder-side taps).
+        """
+        return self._run(x, tuple(taps))
+
+    @property
+    def num_layers(self) -> int:
+        # static layer count for choosing nce tap indices
+        return 3 + 6 + self.n_res_blocks + 6 + 2

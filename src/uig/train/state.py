@@ -1,0 +1,63 @@
+"""Train-state pytrees and the optimizer factory (SURVEY.md §2 "CycleGAN trainer").
+
+The full training state (2 generators + 2 discriminators + both Adam states +
+EMA + replay pools + PRNG + step) is one pytree so that:
+  * the whole step donates its input buffers (``donate_argnums=0``) and the
+    2G+2D+opt+EMA+pool set fits HBM at 256²/512² (SURVEY.md §7),
+  * orbax checkpoints it wholesale and resume is exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from uig.config import OptConfig
+from uig.train.pool import PoolState
+
+
+class CycleGANState(struct.PyTreeNode):
+    g_params: dict  # {"a2b": params, "b2a": params}
+    d_params: dict  # {"a": params, "b": params}
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+    ema: dict  # {"a2b": params, "b2a": params}
+    pool_a: PoolState  # historical fake-A images (feed D_A)
+    pool_b: PoolState  # historical fake-B images (feed D_B)
+    rng: jax.Array  # base key; per-step keys derive via fold_step
+    step: jax.Array  # () int32
+
+
+def lr_schedule(opt: OptConfig):
+    """Constant lr, then linear decay to 0 over the remaining steps
+    (the canonical CycleGAN schedule: flat for the first half, linear to
+    zero over the second half)."""
+    decay_steps = max(opt.total_steps - opt.decay_start_step, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        frac = jnp.clip((step - opt.decay_start_step) / decay_steps, 0.0, 1.0)
+        return opt.lr * (1.0 - frac)
+
+    return schedule
+
+
+def make_optimizer(opt: OptConfig) -> optax.GradientTransformation:
+    sched = lr_schedule(opt)
+    chain = []
+    if opt.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(opt.grad_clip))
+    if opt.optimizer == "adam":
+        chain.append(
+            optax.adamw(sched, b1=opt.b1, b2=opt.b2, eps=opt.eps,
+                        weight_decay=opt.weight_decay)
+            if opt.weight_decay > 0
+            else optax.adam(sched, b1=opt.b1, b2=opt.b2, eps=opt.eps)
+        )
+    elif opt.optimizer == "sgd":
+        chain.append(optax.sgd(sched))
+    else:
+        raise ValueError(f"unknown optimizer {opt.optimizer!r}")
+    return optax.chain(*chain)

@@ -1,0 +1,82 @@
+"""Numerics of the NHWC building blocks vs hand-written torch-CPU oracles
+(SURVEY.md §4: torch 2.13-cpu is the golden reference for module semantics;
+tolerance <=1e-5 in fp32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from uig.models.layers import InstanceNorm, PadConv, pad2d
+
+
+def _nhwc_to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def test_instance_norm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 7, 5, 4)).astype(np.float32)
+    mod = InstanceNorm()
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(params, jnp.asarray(x))
+
+    xt = torch.from_numpy(_nhwc_to_nchw(x))
+    yt = F.instance_norm(xt, eps=1e-5)  # affine init is identity
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(yt.numpy(), (0, 2, 3, 1)), atol=1e-5
+    )
+
+
+def test_instance_norm_affine_params_used():
+    x = jnp.ones((1, 4, 4, 2)) * 3.0
+    mod = InstanceNorm()
+    params = mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(lambda p: p + 1.0, params)  # scale=2, bias=1
+    y = mod.apply(params, x)
+    # constant input -> normalized to 0 -> y = bias = 1
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-4)
+
+
+def test_reflection_pad_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 6, 6, 3)).astype(np.float32)
+    y = pad2d(jnp.asarray(x), 2, "reflect")
+    yt = F.pad(torch.from_numpy(_nhwc_to_nchw(x)), (2, 2, 2, 2), mode="reflect")
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(yt.numpy(), (0, 2, 3, 1)), atol=0
+    )
+
+
+def test_padconv_matches_torch_conv():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    mod = PadConv(features=5, kernel=3, stride=2, pad=1, pad_mode="zeros")
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(params, jnp.asarray(x))
+
+    # same weights in torch: flax kernel (kh, kw, cin, cout) -> torch (cout, cin, kh, kw)
+    k = np.asarray(params["params"]["Conv_0"]["kernel"])
+    b = np.asarray(params["params"]["Conv_0"]["bias"])
+    wt = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)))
+    yt = F.conv2d(
+        torch.from_numpy(_nhwc_to_nchw(x)), wt, torch.from_numpy(b),
+        stride=2, padding=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(yt.numpy(), (0, 2, 3, 1)), atol=2e-5
+    )
+
+
+def test_resnet_block_identity_at_zero_weights():
+    from uig.models.layers import ResnetBlock
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 8, 4)),
+                    jnp.float32)
+    mod = ResnetBlock(4)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    y = mod.apply(zeroed, x)
+    # zero conv weights + zero IN scale -> block output == input (pure skip)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
