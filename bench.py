@@ -1,0 +1,127 @@
+"""Headline bench: images/sec/chip for 256² CycleGAN training (BASELINE.json
+``metric``). Runs on whatever accelerator is present (the driver runs it on
+the real TPU chip). Prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the fraction of the chip's bf16 compute roofline achieved,
+computed from the XLA cost model's FLOP count for the compiled step and the
+chip's peak bf16 FLOP/s (BASELINE.json north star: ≥0.95 of roofline; the
+reference publishes no numbers of its own — it is an empty stub,
+/root/reference/README.md:1 — so roofline fraction is the honest baseline).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+# peak bf16 FLOP/s per chip (dense); used for the roofline denominator
+PEAK_BF16 = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAK_BF16.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # default: v5e
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from uig.config import apply_overrides, get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.cyclegan import CycleGANTrainer
+
+    image_size = int(os.environ.get("UIG_BENCH_SIZE", "256"))
+    steps = int(os.environ.get("UIG_BENCH_STEPS", "20"))
+    batch_candidates = [int(b) for b in
+                        os.environ.get("UIG_BENCH_BATCHES", "8,4,2,1").split(",")]
+
+    dev = jax.devices()[0]
+    n_chips = jax.device_count()
+
+    last_err = None
+    for batch in batch_candidates:
+        try:
+            cfg = get_preset("cyclegan256_dp")
+            cfg = apply_overrides(cfg, [
+                f"model.image_size={image_size}",
+                f"data.batch_size={batch * n_chips}",
+                "data.augment=xla",
+                "loss.lambda_lpips=0",
+            ])
+            mesh = make_mesh()
+            trainer = CycleGANTrainer(cfg, mesh)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            rng = np.random.default_rng(0)
+            load = cfg.data.load_size
+            a = rng.integers(0, 255, (batch * n_chips, load, load, 3), dtype=np.uint8)
+            b = rng.integers(0, 255, (batch * n_chips, load, load, 3), dtype=np.uint8)
+            dev_batch = shard_batch(mesh, (a, b))
+
+            # warmup/compile. NOTE: block via device_get — on the axon remote
+            # backend block_until_ready() on tiny scalar outputs can return
+            # before the step actually retires, inflating throughput ~10x.
+            state, m = trainer.train_step(state, dev_batch)
+            jax.device_get(m)
+            state, m = trainer.train_step(state, dev_batch)
+            jax.device_get(m)
+
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = trainer.train_step(state, dev_batch)
+            jax.device_get(m)
+            dt = time.perf_counter() - t0
+
+            img_per_sec_chip = (batch * n_chips * steps) / dt / n_chips
+
+            # roofline fraction from XLA's cost model
+            flops_per_step = None
+            try:
+                lowered = trainer._train_step.lower(state, dev_batch[0], dev_batch[1])
+                cost = lowered.compile().cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops_per_step = float(cost.get("flops", 0.0))
+            except Exception:
+                pass
+            if flops_per_step:
+                ideal_step = flops_per_step / (_peak_flops(dev) * n_chips)
+                roofline_img_s_chip = (batch * n_chips) / ideal_step / n_chips
+                vs = img_per_sec_chip / roofline_img_s_chip
+            else:
+                vs = 0.0
+
+            print(json.dumps({
+                "metric": f"images/sec/chip, {image_size}x{image_size} CycleGAN train (bf16, batch={batch})",
+                "value": round(img_per_sec_chip, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 4),
+            }))
+            return
+        except Exception as e:  # try a smaller batch (OOM etc.)
+            last_err = e
+            continue
+    print(json.dumps({
+        "metric": f"images/sec/chip, {image_size}x{image_size} CycleGAN train",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": str(last_err)[:200],
+    }))
+
+
+if __name__ == "__main__":
+    main()

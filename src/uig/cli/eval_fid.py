@@ -1,0 +1,48 @@
+"""`uig eval-fid` — SURVEY.md §3 call stack 4: restore EMA generator,
+translate the eval stream, extract features (jitted), stream mean/cov,
+Fréchet distance vs the real target-domain statistics."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def run_eval_fid(run_dir: str, direction: str = "a2b",
+                 num_samples: int | None = None, step: int | None = None,
+                 batch_size: int = 16, overrides=()) -> float:
+    import jax.numpy as jnp
+
+    from uig.cli.translate import load_run
+    from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
+    from uig.eval.fid import compute_fid, make_feature_fn
+    from uig.kernels import center_crop_normalize
+
+    cfg, trainer, state = load_run(run_dir, step, overrides)
+    d = cfg.data
+    if d.source == "folders":
+        ds_a = FolderDataset(d.dir_a, d.load_size)
+        ds_b = FolderDataset(d.dir_b, d.load_size)
+    else:
+        syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
+        ds_a, ds_b = syn.domain_a, syn.domain_b
+    src, tgt = (ds_a, ds_b) if direction == "a2b" else (ds_b, ds_a)
+
+    n = num_samples or cfg.eval.fid_num_samples
+    n = min(n, len(src), len(tgt))
+    crop = cfg.model.image_size
+
+    def real_batches():
+        for s in range(0, n, batch_size):
+            raw = np.stack([tgt[i] for i in range(s, min(s + batch_size, n))])
+            yield center_crop_normalize(jnp.asarray(raw), crop)
+
+    def fake_batches():
+        for s in range(0, n, batch_size):
+            raw = np.stack([src[i] for i in range(s, min(s + batch_size, n))])
+            x = center_crop_normalize(jnp.asarray(raw), crop)
+            yield trainer.translate(state.ema, x, direction)
+
+    feature_fn, name = make_feature_fn(cfg)
+    fid = compute_fid(real_batches(), fake_batches(), feature_fn)
+    print(f"FID[{name}] over {n} samples ({direction}): {fid:.4f}")
+    return fid

@@ -1,0 +1,93 @@
+"""uig CLI — L7 (SURVEY.md §1, §3 call stacks 1/3/4).
+
+    python -m uig.cli train --preset cyclegan128 --set opt.lr=1e-4 ...
+    python -m uig.cli translate --run-dir ... --input-dir ... --output-dir ...
+    python -m uig.cli eval-fid --run-dir ... [--num-samples 500]
+
+``--set section.field=value`` implements the dotted-override surface; every
+run dumps its resolved config to <workdir>/<name>/config.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE", help="dotted config override")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="uig")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model from a preset config")
+    t.add_argument("--preset", required=True)
+    t.add_argument("--config", help="JSON config file (overrides preset)")
+    t.add_argument("--max-steps", type=int, default=None)
+    _add_common(t)
+
+    tr = sub.add_parser("translate", help="translate a directory of images")
+    tr.add_argument("--run-dir", required=True,
+                    help="training workdir (contains config.json + ckpt/)")
+    tr.add_argument("--input-dir", required=True)
+    tr.add_argument("--output-dir", required=True)
+    tr.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
+    tr.add_argument("--batch-size", type=int, default=8)
+    tr.add_argument("--step", type=int, default=None,
+                    help="checkpoint step (default latest)")
+    _add_common(tr)
+
+    ev = sub.add_parser("eval-fid", help="FID of translated eval images")
+    ev.add_argument("--run-dir", required=True)
+    ev.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
+    ev.add_argument("--num-samples", type=int, default=None)
+    ev.add_argument("--step", type=int, default=None)
+    _add_common(ev)
+    return p
+
+
+def load_cfg(args):
+    from uig.config import apply_overrides, config_from_dict, get_preset
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = config_from_dict(json.load(f))
+    else:
+        cfg = get_preset(args.preset)
+    return apply_overrides(cfg, args.overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "train":
+        from uig.train.loop import fit
+
+        cfg = load_cfg(args)
+        metrics = fit(cfg, max_steps=args.max_steps)
+        print(json.dumps({"final_metrics": metrics}))
+        return 0
+    if args.cmd == "translate":
+        from uig.cli.translate import run_translate
+
+        n = run_translate(args.run_dir, args.input_dir, args.output_dir,
+                          direction=args.direction, batch_size=args.batch_size,
+                          step=args.step, overrides=args.overrides)
+        print(json.dumps({"translated": n, "output_dir": args.output_dir}))
+        return 0
+    if args.cmd == "eval-fid":
+        from uig.cli.eval_fid import run_eval_fid
+
+        fid = run_eval_fid(args.run_dir, direction=args.direction,
+                           num_samples=args.num_samples, step=args.step,
+                           overrides=args.overrides)
+        print(json.dumps({"fid": fid}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Batch inference: translate a directory through the EMA generator —
+SURVEY.md §3 call stack 3.
+
+Reuses the training-time L0 preprocessing kernel in deterministic mode
+(host decode+resize to load_size → device center-crop + normalize), so
+outputs are pixel-identical to training-time eval within float tolerance
+(BASELINE.json north-star clause). Forward runs fp32 with pinned matmul
+precision — the bit-exact serving path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def load_run(run_dir: str, step: int | None = None, overrides=()):
+    """Restore (cfg, trainer, state) from a training workdir."""
+    from uig.checkpoint import CheckpointManager
+    from uig.config import apply_overrides, config_from_dict
+    from uig.runtime.mesh import make_mesh
+    from uig.train.loop import build_trainer
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = config_from_dict(json.load(f))
+    if overrides:
+        cfg = apply_overrides(cfg, list(overrides))
+    mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
+    trainer = build_trainer(cfg, mesh)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.run.seed))
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    state, _, _ = ckpt.restore(state, step=step)
+    ckpt.close()
+    return cfg, trainer, state
+
+
+def run_translate(run_dir: str, input_dir: str, output_dir: str,
+                  direction: str = "a2b", batch_size: int = 8,
+                  step: int | None = None, overrides=()) -> int:
+    from PIL import Image
+
+    from uig.data.datasets import FolderDataset
+    from uig.kernels import center_crop_normalize, denormalize_to_u8
+
+    cfg, trainer, state = load_run(run_dir, step, overrides)
+    ds = FolderDataset(input_dir, cfg.data.load_size)
+    os.makedirs(output_dir, exist_ok=True)
+
+    n = len(ds)
+    done = 0
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        raw = np.stack([ds[i] for i in idxs])
+        # pad the tail batch to the compiled batch size (static shapes)
+        pad = batch_size - len(idxs)
+        if pad:
+            raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)])
+        import jax.numpy as jnp
+
+        x = center_crop_normalize(jnp.asarray(raw), cfg.model.image_size)
+        y = trainer.translate(state.ema, x, direction)
+        out = np.asarray(denormalize_to_u8(y))[: len(idxs)]
+        for i, img in zip(idxs, out):
+            name = os.path.splitext(os.path.basename(ds.files[i]))[0]
+            Image.fromarray(img).save(os.path.join(output_dir, f"{name}.png"))
+            done += 1
+    return done

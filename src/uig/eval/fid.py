@@ -1,0 +1,136 @@
+"""FID evaluation — SURVEY.md §2 "Eval / FID", §3 call stack 4.
+
+Feature extraction is jitted on device (InceptionV3 pool3 by default);
+mean/covariance accumulate on host in float64 (TPUs have no fast fp64, and
+the Fréchet solve is O(d³) host work anyway). The matrix square root uses a
+symmetric eigendecomposition of √Σ₁·Σ₂·√Σ₁ — no scipy dependency.
+
+Zero-egress note: without a pretrained weights file this falls back to a
+deterministic random-feature extractor (valid as a *relative* metric; the
+metric name records which extractor was used) — see uig/eval/inception.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class RandomFeatureNet(nn.Module):
+    """Deterministic random-conv feature extractor (seed-0 init).
+
+    5 stride-2 conv stages + GAP -> 768-d features. Random convolutional
+    features preserve enough image statistics to give a meaningful relative
+    Fréchet distance for tracking training progress.
+    """
+
+    width: int = 96
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.width
+        for i, mult in enumerate((1, 2, 4, 8, 8)):
+            x = nn.Conv(f * mult, (3, 3), strides=(2, 2), name=f"conv{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        return jnp.mean(x, axis=(1, 2))
+
+
+def make_feature_fn(cfg) -> tuple[Callable, str]:
+    """Returns (jitted images->features fn, extractor name)."""
+    kind = cfg.eval.fid_features
+    weights = cfg.eval.inception_weights or None
+    if kind == "auto":
+        kind = "inception" if weights else "random"
+    if kind == "inception":
+        from uig.eval.inception import init_inception
+
+        apply_fn, params = init_inception(weights)
+        name = "inception_pool3" if weights else "inception_untrained"
+        return jax.jit(lambda x: apply_fn(params, x)), name
+    if kind == "random":
+        net = RandomFeatureNet()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        return jax.jit(lambda x: net.apply(params, x)), "random_conv"
+    raise ValueError(f"unknown fid_features {kind!r}")
+
+
+class FIDStats:
+    """Streaming mean/cov accumulator (host, float64)."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.s = np.zeros((dim,), np.float64)
+        self.ss = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats: np.ndarray) -> None:
+        f = np.asarray(feats, np.float64)
+        self.n += f.shape[0]
+        self.s += f.sum(0)
+        self.ss += f.T @ f
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.s / max(self.n, 1)
+
+    @property
+    def cov(self) -> np.ndarray:
+        if self.n < 2:
+            return np.zeros_like(self.ss)
+        m = self.mean
+        return (self.ss - self.n * np.outer(m, m)) / (self.n - 1)
+
+
+def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
+    w, v = np.linalg.eigh(a)
+    w = np.clip(w, 0, None)
+    return (v * np.sqrt(w)) @ v.T
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """d² = |μ₁−μ₂|² + Tr(Σ₁+Σ₂−2·sqrtm(Σ₁Σ₂)), scipy-free."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    cov1 = np.asarray(cov1, np.float64) + eps * np.eye(len(mu1))
+    cov2 = np.asarray(cov2, np.float64) + eps * np.eye(len(mu2))
+    s1 = _sqrtm_psd(cov1)
+    middle = s1 @ cov2 @ s1  # symmetric PSD; same spectrum as cov1 @ cov2
+    w = np.clip(np.linalg.eigvalsh(middle), 0, None)
+    tr_sqrt = np.sqrt(w).sum()
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * tr_sqrt)
+
+
+def compute_fid(real_batches: Iterable, fake_batches: Iterable,
+                feature_fn: Callable) -> float:
+    """FID between two streams of (B, H, W, 3) images in [-1, 1].
+
+    Multi-host: each host streams its shard; stats are summed across
+    processes before the Fréchet solve.
+    """
+    stats = []
+    for batches in (real_batches, fake_batches):
+        st = None
+        for b in batches:
+            f = np.asarray(jax.device_get(feature_fn(b)))
+            if st is None:
+                st = FIDStats(f.shape[-1])
+            st.update(f)
+        if st is None:
+            raise ValueError("empty image stream for FID")
+        stats.append(st)
+    r, g = stats
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        for st in (r, g):
+            packed = np.concatenate(
+                [np.array([st.n], np.float64), st.s, st.ss.ravel()])
+            summed = multihost_utils.process_allgather(packed).sum(0)
+            st.n = int(summed[0])
+            d = st.s.shape[0]
+            st.s = summed[1 : 1 + d]
+            st.ss = summed[1 + d :].reshape(d, d)
+    return frechet_distance(r.mean, r.cov, g.mean, g.cov)

@@ -1,0 +1,172 @@
+"""The training loop — glue for SURVEY.md §3 call stack 1.
+
+Composes: config → mesh → trainer → input pipeline → hot loop (jitted
+train_step) → metrics (JSONL/TB) → async orbax checkpoints → sample grids →
+profiler window. Also the failure-detection story (SURVEY.md §5): SIGTERM/
+SIGINT triggers a final checkpoint save; resume is exact (state + pipeline
+cursor both checkpointed).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+
+import jax
+import numpy as np
+
+from uig.checkpoint import CheckpointManager
+from uig.checkpoint.ckpt import dump_run_config
+from uig.config import Config, config_to_dict
+from uig.data import make_input_pipeline
+from uig.kernels import center_crop_normalize, denormalize_to_u8
+from uig.metrics import MetricsWriter, StepTimer
+from uig.runtime.mesh import make_mesh, maybe_init_multihost
+
+
+def build_trainer(cfg: Config, mesh):
+    """Trainer factory over the three model families (SURVEY.md §2)."""
+    kind = cfg.model.kind
+    perceptual_fn = None
+    if cfg.loss.lambda_lpips > 0:
+        from uig.eval.lpips import make_lpips
+
+        perceptual_fn = make_lpips(cfg)
+    if kind == "cyclegan":
+        from uig.train.cyclegan import CycleGANTrainer
+
+        return CycleGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "cut":
+        from uig.train.cut import CUTTrainer
+
+        return CUTTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "vqgan":
+        from uig.train.vqgan_trainer import VQGANTrainer
+
+        return VQGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
+def fit(cfg: Config, max_steps: int | None = None) -> dict:
+    """Run training to cfg.opt.total_steps (or max_steps). Returns final
+    metrics. Resumes automatically from the newest checkpoint in workdir."""
+    maybe_init_multihost(cfg.parallel.multihost)
+    mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
+    trainer = build_trainer(cfg, mesh)
+
+    workdir = os.path.join(cfg.run.workdir, cfg.run.name)
+    os.makedirs(workdir, exist_ok=True)
+    dump_run_config(config_to_dict(cfg), workdir)
+    writer = MetricsWriter(workdir, tensorboard=cfg.run.tensorboard)
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), keep=cfg.run.ckpt_keep)
+
+    state = trainer.init_state(jax.random.PRNGKey(cfg.run.seed))
+    pipe = make_input_pipeline(cfg, mesh, start=False)
+    if ckpt.latest_step() is not None:
+        state, data_state, _ = ckpt.restore(state)
+        if data_state:
+            pipe.load_state_dict(data_state)
+    pipe.start()
+
+    stop = {"flag": False}
+
+    def _handle(sig, frame):
+        stop["flag"] = True
+
+    old_term = signal.signal(signal.SIGTERM, _handle)
+    old_int = signal.signal(signal.SIGINT, _handle)
+
+    total = max_steps if max_steps is not None else cfg.opt.total_steps
+    timer = StepTimer()
+    metrics = {}
+    last_saved = -1
+    prof_start, prof_stop = cfg.run.profile_steps
+    profiling = False
+    try:
+        step = int(jax.device_get(state.step))
+        while step < total and not stop["flag"]:
+            if prof_stop > prof_start and step == prof_start and not profiling:
+                jax.profiler.start_trace(os.path.join(workdir, "profile"))
+                profiling = True
+            timer.data_start()
+            batch = next(pipe)
+            timer.data_stop()
+            state, metrics = trainer.train_step(state, batch)
+            step += 1
+            timer.step_done(cfg.data.batch_size)
+            if profiling and step >= prof_stop:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+            if step % cfg.run.log_every == 0:
+                host_m = {k: float(v) for k, v in metrics.items()}
+                host_m["images_per_sec_chip"] = timer.throughput / max(
+                    jax.device_count(), 1
+                )
+                host_m["input_stall_pct"] = timer.stall_pct
+                writer.write(step, host_m)
+                timer.reset()
+            if cfg.run.ckpt_every and step % cfg.run.ckpt_every == 0:
+                ckpt.save(step, state, data_state=pipe.state_dict())
+                last_saved = step
+            if (
+                cfg.eval.sample_grid_every
+                and step % cfg.eval.sample_grid_every == 0
+                and hasattr(trainer, "translate")
+            ):
+                _write_sample_grid(cfg, trainer, state, workdir, step)
+        # final (or preemption) save
+        if last_saved != step:
+            ckpt.save(step, state, data_state=pipe.state_dict(), force=True)
+        ckpt.wait()
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+        pipe.stop()
+        writer.close()
+        ckpt.close()
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+    return {k: float(v) for k, v in metrics.items()} if metrics else {}
+
+
+def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
+                       n: int | None = None) -> None:
+    """Fixed-seed A→B and B→A translation grid PNG (SURVEY.md §5 metrics)."""
+    if jax.process_index() != 0:
+        return
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    from uig.data.datasets import SyntheticUnpairedDataset
+
+    n = n or cfg.eval.sample_grid_n
+    d = cfg.data
+    if d.source == "folders":
+        from uig.data.datasets import FolderDataset
+
+        ds_a = FolderDataset(d.dir_a, d.load_size)
+        ds_b = FolderDataset(d.dir_b, d.load_size)
+    else:
+        syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
+        ds_a, ds_b = syn.domain_a, syn.domain_b
+    import jax.numpy as jnp
+
+    raw_a = jnp.asarray(np.stack([ds_a[i] for i in range(n)]))
+    raw_b = jnp.asarray(np.stack([ds_b[i] for i in range(n)]))
+    xa = center_crop_normalize(raw_a, cfg.model.image_size)
+    xb = center_crop_normalize(raw_b, cfg.model.image_size)
+    fake_b = trainer.translate(state.ema, xa, "a2b")
+    fake_a = trainer.translate(state.ema, xb, "b2a")
+    rows = []
+    for pair in ((xa, fake_b), (xb, fake_a)):
+        src = np.asarray(denormalize_to_u8(pair[0]))
+        dst = np.asarray(denormalize_to_u8(pair[1]))
+        rows.append(np.concatenate([np.concatenate(list(src), 1),
+                                    np.concatenate(list(dst), 1)], 0))
+    grid = np.concatenate(rows, 0)
+    out_dir = os.path.join(workdir, "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    Image.fromarray(grid).save(os.path.join(out_dir, f"step_{step:08d}.png"))

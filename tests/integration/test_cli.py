@@ -1,0 +1,91 @@
+"""End-to-end CLI flows (SURVEY.md §3 call stacks 1, 3, 4) on tiny shapes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from uig.cli.main import main
+from uig.data.datasets import SyntheticUnpairedDataset
+
+
+@pytest.fixture(scope="module")
+def png_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    syn = SyntheticUnpairedDataset(n=8, load_size=20, seed=0)
+    return syn.write_png_dirs(str(root))
+
+
+def _overrides(tmp_path, name, dir_a, dir_b):
+    return [
+        "--set", "model.image_size=16", "--set", "model.n_res_blocks=1",
+        "--set", "model.d_layers=2", "--set", "data.batch_size=2",
+        "--set", "data.load_size=20", "--set", "data.source=folders",
+        "--set", f"data.dir_a={dir_a}", "--set", f"data.dir_b={dir_b}",
+        "--set", "data.num_workers=1", "--set", "opt.pool_size=4",
+        "--set", "parallel.num_devices=2",
+        "--set", f"run.workdir={tmp_path}", "--set", f"run.name={name}",
+        "--set", "run.ckpt_every=2", "--set", "run.log_every=2",
+        "--set", "eval.sample_grid_every=4", "--set", "eval.sample_grid_n=2",
+        "--set", "eval.fid_num_samples=8",
+    ]
+
+
+def test_train_translate_evalfid_cli(tmp_path, png_dirs, capsys):
+    dir_a, dir_b = png_dirs
+    run_dir = os.path.join(tmp_path, "clirun")
+
+    rc = main(["train", "--preset", "smoke64", "--max-steps", "4"]
+              + _overrides(tmp_path, "clirun", dir_a, dir_b))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "g_loss" in out["final_metrics"]
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    # sample grid written at step 4
+    samples = os.listdir(os.path.join(run_dir, "samples"))
+    assert any(s.endswith(".png") for s in samples)
+
+    out_dir = os.path.join(tmp_path, "translated")
+    rc = main(["translate", "--run-dir", run_dir, "--input-dir", dir_a,
+               "--output-dir", out_dir, "--direction", "a2b",
+               "--batch-size", "4"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["translated"] == 8
+    pngs = sorted(os.listdir(out_dir))
+    assert len(pngs) == 8
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out_dir, pngs[0])))
+    assert img.shape == (16, 16, 3)
+
+    rc = main(["eval-fid", "--run-dir", run_dir, "--num-samples", "8"])
+    assert rc == 0
+    fid = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["fid"]
+    assert np.isfinite(fid) and fid >= 0
+
+
+def test_translate_deterministic(tmp_path, png_dirs, capsys):
+    """Same ckpt + same inputs -> byte-identical outputs (eval-mode fidelity,
+    BASELINE.json north star)."""
+    dir_a, dir_b = png_dirs
+    run_dir = os.path.join(tmp_path, "fid_run")
+    rc = main(["train", "--preset", "smoke64", "--max-steps", "2"]
+              + _overrides(tmp_path, "fid_run", dir_a, dir_b))
+    assert rc == 0
+    capsys.readouterr()
+
+    outs = []
+    for sub in ("t1", "t2"):
+        out_dir = os.path.join(tmp_path, sub)
+        main(["translate", "--run-dir", run_dir, "--input-dir", dir_a,
+              "--output-dir", out_dir, "--batch-size", "8"])
+        capsys.readouterr()
+        from PIL import Image
+
+        outs.append(np.stack([
+            np.asarray(Image.open(os.path.join(out_dir, f)))
+            for f in sorted(os.listdir(out_dir))
+        ]))
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uig.eval.fid import FIDStats, RandomFeatureNet, frechet_distance
+
+
+def test_frechet_zero_for_identical():
+    mu = np.array([1.0, -2.0, 3.0])
+    cov = np.array([[2.0, 0.3, 0.0], [0.3, 1.0, 0.1], [0.0, 0.1, 0.5]])
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+
+
+def test_frechet_mean_shift_analytic():
+    # identity covariances: d^2 = |mu1-mu2|^2
+    d = 4
+    mu1, mu2 = np.zeros(d), np.full(d, 2.0)
+    eye = np.eye(d)
+    got = frechet_distance(mu1, eye, mu2, eye)
+    assert abs(got - 16.0) < 1e-4
+
+
+def test_frechet_cov_analytic():
+    # mu equal; cov1 = a*I, cov2 = b*I: d^2 = d*(a + b - 2*sqrt(ab))
+    d = 3
+    a, b = 4.0, 1.0
+    got = frechet_distance(np.zeros(d), a * np.eye(d), np.zeros(d), b * np.eye(d))
+    assert abs(got - d * (a + b - 2 * np.sqrt(a * b))) < 1e-4
+
+
+def test_streaming_stats_match_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 5))
+    st = FIDStats(5)
+    for i in range(0, 100, 7):
+        st.update(x[i : i + 7])
+    np.testing.assert_allclose(st.mean, x.mean(0), atol=1e-10)
+    np.testing.assert_allclose(st.cov, np.cov(x, rowvar=False), atol=1e-10)
+
+
+def test_random_feature_net_deterministic():
+    net = RandomFeatureNet()
+    p1 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    p2 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jnp.ones((2, 32, 32, 3)) * 0.3
+    f1 = net.apply(p1, x)
+    f2 = net.apply(p2, x)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert f1.shape == (2, 768)
+
+
+def test_fid_discriminates_distributions():
+    """FID(real, real-like) << FID(real, different) with random features."""
+    from uig.eval.fid import compute_fid
+
+    net = RandomFeatureNet()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    feat = jax.jit(lambda x: net.apply(params, x))
+    rng = np.random.default_rng(1)
+
+    def batches(mean, n=4):
+        for _ in range(n):
+            yield jnp.asarray(
+                np.clip(rng.normal(mean, 0.2, (8, 16, 16, 3)), -1, 1),
+                jnp.float32)
+
+    near = compute_fid(batches(0.0), batches(0.0), feat)
+    far = compute_fid(batches(0.0), batches(0.8), feat)
+    assert far > near
+
+
+def test_lpips_basic():
+    from uig.eval.lpips import make_lpips
+
+    lp = make_lpips()
+    x = jnp.zeros((1, 32, 32, 3))
+    y = jnp.ones((1, 32, 32, 3)) * 0.5
+    assert float(lp(x, x)) < 1e-10
+    assert float(lp(x, y)) > 0
