@@ -122,6 +122,11 @@ class RunConfig:
     seed: int = 0
     profile_steps: tuple[int, int] = (0, 0)  # (start, stop); equal = disabled
     tensorboard: bool = False
+    # sanitizer-equivalents (SURVEY.md §5 "race detection"): no native code,
+    # so the JAX-level checks are the story — nan/inf trapping and leaked-
+    # tracer checking around the train loop.
+    debug_nans: bool = False
+    check_tracer_leaks: bool = False
 
 
 @dataclass(frozen=True)

@@ -58,7 +58,13 @@ class _SyntheticDomain:
         return self.n
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        rng = np.random.default_rng((self.seed, hash(self.kind) & 0xFFFF, idx))
+        # zlib.crc32, NOT hash(): python string hashing is randomized per
+        # process, which would break cross-process reproducibility (resume,
+        # multi-host) of the synthetic stream.
+        import zlib
+
+        kind_tag = zlib.crc32(self.kind.encode()) & 0xFFFF
+        rng = np.random.default_rng((self.seed, kind_tag, idx))
         s = self.size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
         if self.kind == "blobs":

@@ -1,0 +1,282 @@
+"""CUT trainer — contrastive unpaired translation (SURVEY.md §2
+"CUT/contrastive variant"; BASELINE.json config rung 4).
+
+Single generator + single discriminator; cycle consistency is replaced by
+PatchNCE: multilayer encoder features of the input x and of the translation
+G(x) are compared contrastively at matched spatial locations (positives) vs
+other locations in the same image (internal negatives), through per-layer
+2-layer MLP projection heads trained jointly with G. An identity NCE term
+(y vs G(y)) regularizes the target domain.
+
+TPU structure mirrors CycleGANTrainer: ONE jitted XLA program per step
+(G+heads update → optional replay pool → D update → EMA), shard_mapped over
+the ``data`` axis with pmean'd grads; patch sampling is a batched gather and
+each per-layer NCE is one (N×N) matmul per image — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn, struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from uig.config import Config
+from uig.kernels.augment import augment
+from uig.models import PatchDiscriminator, ResNetGenerator
+from uig.runtime.prng import fold_step, split_named
+from uig.train import losses as L
+from uig.train.ema import ema_update
+from uig.train.pool import ImagePool, PoolState
+from uig.train.state import lr_schedule, make_optimizer
+
+
+class ProjectionHead(nn.Module):
+    """Per-tap 2-layer MLP: C -> dim -> dim (unit-norm happens in the loss)."""
+
+    dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class CUTState(struct.PyTreeNode):
+    g_params: dict  # {"gen": ..., "heads": [...]}
+    d_params: dict
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+    ema: dict  # {"a2b": generator params}
+    pool_b: PoolState
+    rng: jax.Array
+    step: jax.Array
+
+
+def _sample_patches(feat: jax.Array, idx: jax.Array) -> jax.Array:
+    """feat (B, H, W, C), idx (B, N) flat spatial ids -> (B, N, C)."""
+    b, h, w, c = feat.shape
+    flat = feat.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+class CUTTrainer:
+    directions = ("a2b",)
+
+    def __init__(self, cfg: Config, mesh: Mesh,
+                 perceptual_fn: Callable | None = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = cfg.parallel.data_axis
+        m = cfg.model
+        dt = jnp.dtype(m.compute_dtype)
+        self.generator = ResNetGenerator(
+            out_channels=m.out_channels, base_features=m.g_base_features,
+            n_res_blocks=m.n_res_blocks, norm=m.norm, pad_mode=m.padding,
+            upsample=m.upsample, dtype=dt,
+        )
+        self.eval_generator = self.generator.copy(dtype=jnp.dtype(m.eval_dtype))
+        self.discriminator = PatchDiscriminator(
+            base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
+            dtype=dt,
+        )
+        n_layers = self.generator.num_layers
+        self.taps = tuple(i for i in m.nce_layers if i < n_layers)
+        self.n_patches = m.nce_patches
+        self.head = ProjectionHead(m.nce_proj_dim, dtype=dt)
+        self.g_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt)
+        self.pool = ImagePool(cfg.opt.pool_size)
+        self.perceptual_fn = perceptual_fn
+        self._lr = lr_schedule(cfg.opt)
+
+        n = mesh.devices.size
+        if cfg.data.batch_size % n:
+            raise ValueError(
+                f"global batch {cfg.data.batch_size} not divisible by {n} devices")
+        self.local_batch = cfg.data.batch_size // n
+        self.n_devices = n
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(self._eval_apply)
+
+    # ------------------------------------------------------------------
+    def _abstract_state(self, rng):
+        cfg = self.cfg
+        hw = cfg.model.image_size
+        sample = jnp.zeros((1, hw, hw, cfg.model.in_channels), jnp.float32)
+        kg, kd, kh = jax.random.split(rng, 3)
+        gen_params = self.generator.init(kg, sample)
+        # head init needs per-tap channel dims from a real forward
+        _, feats = self.generator.apply(
+            gen_params, sample, self.taps,
+            method=ResNetGenerator.with_features)
+        heads = []
+        for i, f in enumerate(feats):
+            heads.append(self.head.init(jax.random.fold_in(kh, i),
+                                        jnp.zeros((1, 1, f.shape[-1]))))
+        g_params = {"gen": gen_params, "heads": heads}
+        d_params = self.discriminator.init(kd, sample)
+        pool_dtype = jnp.dtype(cfg.model.compute_dtype)
+        img_shape = (hw, hw, cfg.model.out_channels)
+        global_pool = ImagePool(cfg.opt.pool_size * self.n_devices)
+        return CUTState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            ema={"a2b": jax.tree_util.tree_map(jnp.copy, gen_params)},
+            pool_b=global_pool.init(img_shape, pool_dtype),
+            rng=rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def init_state(self, rng: jax.Array) -> CUTState:
+        state = self._abstract_state(rng)
+        return jax.device_put(state, self.state_shardings())
+
+    def _specs_for(self, state_like) -> CUTState:
+        rep, shard0 = P(), P(self.axis)
+
+        def bc(spec, subtree):
+            return jax.tree_util.tree_map(lambda _: spec, subtree)
+
+        return CUTState(
+            g_params=bc(rep, state_like.g_params),
+            d_params=bc(rep, state_like.d_params),
+            g_opt=bc(rep, state_like.g_opt),
+            d_opt=bc(rep, state_like.d_opt),
+            ema=bc(rep, state_like.ema),
+            pool_b=PoolState(buffer=shard0, count=rep),
+            rng=rep,
+            step=rep,
+        )
+
+    def state_shardings(self):
+        from jax.sharding import NamedSharding
+
+        abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
+        specs = self._specs_for(abstract)
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+
+    # ------------------------------------------------------------------
+    def _nce(self, g_params, src_img, dst_img, key):
+        """PatchNCE between encoder features of src and dst images."""
+        cfg = self.cfg
+        _, f_src = self.generator.apply(
+            g_params["gen"], src_img, self.taps,
+            method=ResNetGenerator.with_features)
+        _, f_dst = self.generator.apply(
+            g_params["gen"], dst_img, self.taps,
+            method=ResNetGenerator.with_features)
+        total = jnp.float32(0.0)
+        for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
+            b, h, w, _ = fs.shape
+            n = min(self.n_patches, h * w)
+            idx = jax.random.randint(jax.random.fold_in(key, i), (b, n), 0, h * w)
+            q = self.head.apply(g_params["heads"][i], _sample_patches(fd, idx))
+            k = self.head.apply(g_params["heads"][i], _sample_patches(fs, idx))
+            total = total + L.patch_nce_loss(q, k, cfg.loss.nce_temperature)
+        return total / len(self.taps)
+
+    def _device_step(self, state: CUTState, real_a, real_b):
+        cfg = self.cfg
+        loss_cfg = cfg.loss
+        axis = self.axis
+        G, D = self.generator, self.discriminator
+        dt = jnp.dtype(cfg.model.compute_dtype)
+
+        step_key = fold_step(state.rng, state.step)
+        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
+        keys = split_named(step_key, ("pool", "aug_a", "aug_b", "nce", "nce_idt"))
+
+        crop = cfg.model.image_size
+        if real_a.dtype == jnp.uint8:
+            real_a = augment(real_a, keys["aug_a"], crop, out_dtype=dt,
+                             impl=cfg.data.augment)
+            real_b = augment(real_b, keys["aug_b"], crop, out_dtype=dt,
+                             impl=cfg.data.augment)
+        else:
+            real_a = real_a.astype(dt)
+            real_b = real_b.astype(dt)
+
+        def g_loss_fn(g_params):
+            fake_b = G.apply(g_params["gen"], real_a)
+            adv = L.gan_loss_g(D.apply(state.d_params, fake_b),
+                               loss_cfg.gan_mode)
+            nce = self._nce(g_params, real_a, fake_b, keys["nce"])
+            total = adv + loss_cfg.lambda_nce * nce
+            nce_idt = jnp.float32(0.0)
+            if loss_cfg.nce_include_identity:
+                idt_b = G.apply(g_params["gen"], real_b)
+                nce_idt = self._nce(g_params, real_b, idt_b, keys["nce_idt"])
+                total = total + loss_cfg.lambda_nce * nce_idt
+            return total, {"fake_b": fake_b, "g_adv": adv, "nce": nce,
+                           "nce_idt": nce_idt}
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params)
+        g_grads = jax.lax.pmean(g_grads, axis)
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        ema = ema_update(state.ema, {"a2b": g_params["gen"]}, cfg.opt.ema_decay)
+
+        pool_b, d_fake_b = self.pool.query(state.pool_b, aux["fake_b"],
+                                           keys["pool"])
+
+        def d_loss_fn(d_params):
+            return L.gan_loss_d(
+                D.apply(d_params, real_b), D.apply(d_params, d_fake_b),
+                loss_cfg.gan_mode), {}
+
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params)
+        d_grads = jax.lax.pmean(d_grads, axis)
+        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {
+            "g_loss": g_loss, "d_loss": d_loss, "g_adv": aux["g_adv"],
+            "nce": aux["nce"], "nce_idt": aux["nce_idt"],
+            "lr": self._lr(state.step),
+        }
+        metrics = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                   metrics), axis)
+        new_state = state.replace(
+            g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
+            ema=ema, pool_b=pool_b, step=state.step + 1)
+        return new_state, metrics
+
+    def _build_train_step(self):
+        abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
+        specs = self._specs_for(abstract)
+        batch_spec = P(self.axis)
+        out_metric_specs = {k: P() for k in
+                            ("g_loss", "d_loss", "g_adv", "nce", "nce_idt", "lr")}
+        shmapped = jax.shard_map(
+            self._device_step, mesh=self.mesh,
+            in_specs=(specs, batch_spec, batch_spec),
+            out_specs=(specs, out_metric_specs), check_vma=False)
+        return jax.jit(shmapped, donate_argnums=(0,))
+
+    def train_step(self, state: CUTState, batch):
+        real_a, real_b = batch
+        return self._train_step(state, real_a, real_b)
+
+    # ------------------------------------------------------------------
+    def _eval_apply(self, params, x):
+        with jax.default_matmul_precision("highest"):
+            return self.eval_generator.apply(params, x.astype(jnp.float32))
+
+    def translate(self, ema_params, x, direction: str = "a2b"):
+        if direction != "a2b":
+            raise ValueError("CUT is single-direction (a2b)")
+        return self._eval_step(ema_params["a2b"], x)

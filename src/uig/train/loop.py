@@ -52,6 +52,10 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     """Run training to cfg.opt.total_steps (or max_steps). Returns final
     metrics. Resumes automatically from the newest checkpoint in workdir."""
     maybe_init_multihost(cfg.parallel.multihost)
+    if cfg.run.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.run.check_tracer_leaks:
+        jax.config.update("jax_check_tracer_leaks", True)
     mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
     trainer = build_trainer(cfg, mesh)
 
@@ -158,10 +162,11 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
     raw_b = jnp.asarray(np.stack([ds_b[i] for i in range(n)]))
     xa = center_crop_normalize(raw_a, cfg.model.image_size)
     xb = center_crop_normalize(raw_b, cfg.model.image_size)
-    fake_b = trainer.translate(state.ema, xa, "a2b")
-    fake_a = trainer.translate(state.ema, xb, "b2a")
+    pairs = [(xa, trainer.translate(state.ema, xa, "a2b"))]
+    if "b2a" in getattr(trainer, "directions", ("a2b", "b2a")):
+        pairs.append((xb, trainer.translate(state.ema, xb, "b2a")))
     rows = []
-    for pair in ((xa, fake_b), (xb, fake_a)):
+    for pair in pairs:
         src = np.asarray(denormalize_to_u8(pair[0]))
         dst = np.asarray(denormalize_to_u8(pair[1]))
         rows.append(np.concatenate([np.concatenate(list(src), 1),

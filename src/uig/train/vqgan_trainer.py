@@ -1,0 +1,239 @@
+"""VQGAN trainer — BASELINE.json rung 5 (SURVEY.md §2 "VQGAN stretch").
+
+Latent-space unpaired generation: ONE VQGAN autoencoder is trained over the
+union of both domains (each step's batch is the concatenation of the A and B
+halves the pipeline yields), learning a shared discrete codebook; the
+serving paths are reconstruction (translate ≡ reconstruct) and
+``decode_codes`` for latent-space sampling.
+
+Losses: L1 reconstruction + codebook + β·commitment (+ optional LPIPS),
+plus a hinge-GAN term gated on by ``loss.vq_disc_start`` (lax-select inside
+the jitted step — no Python branching on the step counter). Same TPU
+structure as the other trainers: one XLA program per step under shard_map,
+pmean'd grads, donated state, bf16 compute / fp32 losses+Adam.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from uig.config import Config
+from uig.kernels.augment import augment
+from uig.models.patch_disc import PatchDiscriminator
+from uig.models.vqgan import VQGANGenerator
+from uig.runtime.prng import fold_step, split_named
+from uig.train import losses as L
+from uig.train.ema import ema_update
+from uig.train.state import lr_schedule, make_optimizer
+
+
+class VQGANState(struct.PyTreeNode):
+    g_params: dict
+    d_params: dict
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+    ema: dict  # {"a2b": generator params} (translate == reconstruct)
+    rng: jax.Array
+    step: jax.Array
+
+
+class VQGANTrainer:
+    directions = ("a2b",)
+
+    def __init__(self, cfg: Config, mesh: Mesh,
+                 perceptual_fn: Callable | None = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = cfg.parallel.data_axis
+        m = cfg.model
+        dt = jnp.dtype(m.compute_dtype)
+        kw = dict(
+            base_features=m.vq_base_features,
+            channel_mults=m.vq_channel_mults,
+            embed_dim=m.vq_embed_dim,
+            codebook_size=m.vq_codebook_size,
+            out_channels=m.out_channels,
+            attn_resolutions=m.vq_attn_resolutions,
+            attn_impl=m.attn_impl,
+        )
+        self.generator = VQGANGenerator(dtype=dt, **kw)
+        self.eval_generator = VQGANGenerator(dtype=jnp.dtype(m.eval_dtype), **kw)
+        self.discriminator = PatchDiscriminator(
+            base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
+            dtype=dt)
+        self.g_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt)
+        self.perceptual_fn = perceptual_fn
+        self._lr = lr_schedule(cfg.opt)
+
+        n = mesh.devices.size
+        if cfg.data.batch_size % n:
+            raise ValueError(
+                f"global batch {cfg.data.batch_size} not divisible by {n} devices")
+        self.local_batch = cfg.data.batch_size // n
+        self.n_devices = n
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(self._eval_apply)
+
+    # ------------------------------------------------------------------
+    def _abstract_state(self, rng):
+        cfg = self.cfg
+        hw = cfg.model.image_size
+        sample = jnp.zeros((1, hw, hw, cfg.model.in_channels), jnp.float32)
+        kg, kd = jax.random.split(rng)
+        g_params = self.generator.init(kg, sample)
+        d_params = self.discriminator.init(kd, sample)
+        return VQGANState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            ema={"a2b": jax.tree_util.tree_map(jnp.copy, g_params)},
+            rng=rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def init_state(self, rng: jax.Array) -> VQGANState:
+        state = self._abstract_state(rng)
+        return jax.device_put(state, self.state_shardings())
+
+    def _specs_for(self, state_like) -> VQGANState:
+        rep = P()
+
+        def bc(subtree):
+            return jax.tree_util.tree_map(lambda _: rep, subtree)
+
+        return VQGANState(
+            g_params=bc(state_like.g_params),
+            d_params=bc(state_like.d_params),
+            g_opt=bc(state_like.g_opt),
+            d_opt=bc(state_like.d_opt),
+            ema=bc(state_like.ema),
+            rng=rep,
+            step=rep,
+        )
+
+    def state_shardings(self):
+        from jax.sharding import NamedSharding
+
+        abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
+        specs = self._specs_for(abstract)
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+
+    # ------------------------------------------------------------------
+    def _device_step(self, state: VQGANState, real_a, real_b):
+        cfg = self.cfg
+        loss_cfg = cfg.loss
+        axis = self.axis
+        dt = jnp.dtype(cfg.model.compute_dtype)
+
+        step_key = fold_step(state.rng, state.step)
+        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
+        keys = split_named(step_key, ("aug_a", "aug_b"))
+
+        crop = cfg.model.image_size
+        if real_a.dtype == jnp.uint8:
+            real_a = augment(real_a, keys["aug_a"], crop, out_dtype=dt,
+                             impl=cfg.data.augment)
+            real_b = augment(real_b, keys["aug_b"], crop, out_dtype=dt,
+                             impl=cfg.data.augment)
+        else:
+            real_a = real_a.astype(dt)
+            real_b = real_b.astype(dt)
+        # one shared-codebook autoencoder over the union of both domains
+        x = jnp.concatenate([real_a, real_b], axis=0)
+
+        disc_on = (state.step >= loss_cfg.vq_disc_start).astype(jnp.float32)
+        adv_w = loss_cfg.lambda_vq_adv * disc_on
+
+        def g_loss_fn(g_params):
+            recon, vq = self.generator.apply(g_params, x)
+            rec = L.l1_loss(x, recon)
+            codebook = vq.codebook_loss + cfg.model.vq_beta * vq.commitment_loss
+            adv = L.gan_loss_g(self.discriminator.apply(state.d_params, recon),
+                               loss_cfg.gan_mode)
+            total = rec + codebook + adv_w * adv
+            lpips = jnp.float32(0.0)
+            if loss_cfg.lambda_lpips > 0 and self.perceptual_fn is not None:
+                lpips = loss_cfg.lambda_lpips * self.perceptual_fn(x, recon)
+                total = total + lpips
+            return total, {"recon": recon, "rec": rec, "codebook": codebook,
+                           "g_adv": adv, "perplexity": vq.perplexity,
+                           "lpips": lpips}
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params)
+        g_grads = jax.lax.pmean(g_grads, axis)
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        ema = ema_update(state.ema, {"a2b": g_params}, cfg.opt.ema_decay)
+
+        fake = jax.lax.stop_gradient(aux["recon"])
+
+        def d_loss_fn(d_params):
+            return L.gan_loss_d(
+                self.discriminator.apply(d_params, x),
+                self.discriminator.apply(d_params, fake),
+                loss_cfg.gan_mode), {}
+
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params)
+        # gate D updates until vq_disc_start (select, not python branch)
+        d_grads = jax.tree_util.tree_map(lambda g: g * disc_on, d_grads)
+        d_grads = jax.lax.pmean(d_grads, axis)
+        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {
+            "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],
+            "codebook": aux["codebook"], "g_adv": aux["g_adv"],
+            "perplexity": aux["perplexity"], "lpips": aux["lpips"],
+            "lr": self._lr(state.step),
+        }
+        metrics = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float32),
+                                   metrics), axis)
+        new_state = state.replace(
+            g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
+            ema=ema, step=state.step + 1)
+        return new_state, metrics
+
+    def _build_train_step(self):
+        abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
+        specs = self._specs_for(abstract)
+        batch_spec = P(self.axis)
+        names = ("g_loss", "d_loss", "rec", "codebook", "g_adv",
+                 "perplexity", "lpips", "lr")
+        shmapped = jax.shard_map(
+            self._device_step, mesh=self.mesh,
+            in_specs=(specs, batch_spec, batch_spec),
+            out_specs=(specs, {k: P() for k in names}), check_vma=False)
+        return jax.jit(shmapped, donate_argnums=(0,))
+
+    def train_step(self, state: VQGANState, batch):
+        real_a, real_b = batch
+        return self._train_step(state, real_a, real_b)
+
+    # ------------------------------------------------------------------
+    def _eval_apply(self, params, x):
+        with jax.default_matmul_precision("highest"):
+            recon, _ = self.eval_generator.apply(params, x.astype(jnp.float32))
+            return recon
+
+    def translate(self, ema_params, x, direction: str = "a2b"):
+        """VQGAN 'translation' is reconstruction through the shared codebook."""
+        return self._eval_step(ema_params["a2b"], x)
+
+    def decode_codes(self, ema_params, codes):
+        return jax.jit(
+            lambda p, c: self.eval_generator.apply(
+                p, c, method=VQGANGenerator.decode_codes)
+        )(ema_params["a2b"], codes)
