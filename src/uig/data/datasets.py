@@ -21,7 +21,15 @@ _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 class FolderDataset:
-    def __init__(self, root: str, load_size: int):
+    """Directory of images; host decode+resize to ``load_size`` uint8 HWC.
+
+    decoder: "auto" (native C++ loader when buildable, else PIL), "native",
+    or "pil". The native path (native/uig_loader.cpp) decodes a whole batch
+    on a C++ thread pool with the GIL released — see
+    uig/data/native_loader.py.
+    """
+
+    def __init__(self, root: str, load_size: int, decoder: str = "auto"):
         self.root = root
         self.load_size = load_size
         self.files = sorted(
@@ -31,11 +39,25 @@ class FolderDataset:
         )
         if not self.files:
             raise FileNotFoundError(f"no images under {root}")
+        if decoder == "auto":
+            from uig.data import native_loader
+
+            decoder = "native" if native_loader.available() else "pil"
+        elif decoder == "native":
+            from uig.data import native_loader
+
+            if not native_loader.available():
+                raise RuntimeError("native loader requested but unavailable")
+        self.decoder = decoder
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self.decoder == "native":
+            from uig.data import native_loader
+
+            return native_loader.decode_resize(self.files[idx], self.load_size)
         from PIL import Image
 
         with Image.open(self.files[idx]) as im:
@@ -43,6 +65,15 @@ class FolderDataset:
             s = self.load_size
             im = im.resize((s, s), Image.BICUBIC)
             return np.asarray(im, dtype=np.uint8)
+
+    def get_batch(self, idxs: list[int], n_threads: int = 8) -> np.ndarray:
+        """Batch decode; the native path parallelizes outside the GIL."""
+        if self.decoder == "native":
+            from uig.data import native_loader
+
+            return native_loader.decode_batch(
+                [self.files[i] for i in idxs], self.load_size, n_threads)
+        return np.stack([self[i] for i in idxs])
 
 
 class _SyntheticDomain:

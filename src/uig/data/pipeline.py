@@ -97,6 +97,11 @@ class UnpairedPipeline:
     def _load_batch(self, t: int) -> tuple[np.ndarray, np.ndarray]:
         ia = self.stream_a.indices_at(t * self.batch, self.batch)
         ib = self.stream_b.indices_at(t * self.batch, self.batch)
+        # datasets with a batch decode (native C++ pool, GIL-free) get the
+        # whole index list; otherwise fan out over python worker threads
+        if hasattr(self.a, "get_batch"):
+            return (self.a.get_batch(ia, self.num_workers),
+                    self.b.get_batch(ib, self.num_workers))
         if self.num_workers > 1 and self.batch > 1:
             from concurrent.futures import ThreadPoolExecutor
 
