@@ -1,22 +1,23 @@
 """Pallas/Mosaic fused augmentation kernel — the TPU path of
 uig.kernels.augment (SURVEY.md §2 "Fused augmentation kernel"; M3 of §7).
 
-One kernel instance per batch element (grid = (B,)): the (C, H, W) uint8
-plane is staged into VMEM, the per-example random crop window is taken with
-dynamic slices, the horizontal flip is a lane reversal selected by a
-prefetched flag, and normalization to [-1, 1] happens on the same VMEM-
-resident values — one HBM read of the source plane, one HBM write of the
-crop, zero intermediate round-trips.
+Grid = (B, C): each instance stages one (H, W) uint8 plane into VMEM and
+emits the (crop, crop) augmented plane. The random crop AND the horizontal
+flip are expressed as two exact 0/1 *selector matmuls* on the MXU:
 
-Layout note: the kernel runs in CHW so W (the crop/flip axis) sits on the
-lane dimension; the cheap NHWC↔NCHW transposes happen in XLA outside. Crop
-offsets/flip flags are computed with the functional jax PRNG outside and
-enter through scalar prefetch (SMEM) so the index math is ready before the
-kernel body runs.
+    out = R @ X @ S,   R[i,h] = [h == oy+i],   S[w,j] = [w == ox+j']  with
+                       j' = j (no flip) or crop-1-j (flip)
 
-Parity: tests/unit/test_augment_pallas.py checks bit-identical output vs the
-XLA implementation (interpret mode on CPU; compiled on the real chip via
-scripts/tpu_kernel_parity.py).
+This is deliberate TPU-native design: this Mosaic backend cannot lower
+dynamic ref slices or lane reversals (verified by bisection on hardware),
+but 0/1 selector matmuls are exact in fp32, fuse crop+flip into the same op,
+and cost ~0.25 GFLOP per 256² batch-8 step — noise next to the HBM traffic
+the kernel saves. Crop offsets / flip flags derive from the same functional
+PRNG draw as the XLA path and enter through scalar prefetch (SMEM), so both
+implementations produce identical pixels for the same key.
+
+Parity: tests/unit/test_augment_pallas.py (interpret mode, CPU) and
+scripts/tpu_kernel_parity.py (compiled, real chip).
 """
 
 from __future__ import annotations
@@ -38,39 +39,38 @@ def pallas_supported() -> bool:
         return False
 
 
-def _augment_kernel(meta_ref, in_ref, out_ref, *, crop: int, width: int,
-                    out_dtype):
+def _augment_kernel(meta_ref, in_ref, out_ref, *, crop: int, height: int,
+                    width: int, out_dtype):
     b = pl.program_id(0)
     oy = meta_ref[b, 0]
     ox = meta_ref[b, 1]
     flip = meta_ref[b, 2]
 
-    del width
-    # (C, crop, crop) window via 2-D dynamic ref slice (Mosaic supports
-    # pl.ds on refs, not lax.dynamic_slice/rev on register values).
-    straight = in_ref[0, :, pl.ds(oy, crop), pl.ds(ox, crop)]
-    # Mosaic has no direct uint8->f32 cast; hop through int32.
-    val = straight.astype(jnp.int32).astype(jnp.float32) * (2.0 / 255.0) - 1.0
-    # Horizontal flip as an MXU matmul with the antidiagonal permutation
-    # matrix (lane reversal has no Mosaic primitive; a crop×crop 0/1 matmul
-    # is exact in fp32 and ~100 MFLOPs at 256² — noise next to the DMA).
-    # Matches the XLA path's patch[:, ::-1] within the window.
-    c = val.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 1)
-    rev = (row + col == crop - 1).astype(jnp.float32)
-    flipped = jnp.dot(
-        val.reshape(c * crop, crop), rev, preferred_element_type=jnp.float32
-    ).reshape(val.shape)
-    out_ref[0] = jnp.where(flip > 0, flipped, val).astype(out_dtype)
+    x = in_ref[0, 0].astype(jnp.int32).astype(jnp.float32)  # (H, W)
+
+    # row selector R (crop, H): picks rows oy..oy+crop-1
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (crop, height), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (crop, height), 1)
+    r_sel = (h_ids == i_ids + oy).astype(jnp.float32)
+
+    # column selector S (W, crop): picks cols ox..ox+crop-1, reversed when
+    # flipping (flip folds into the same matmul)
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (width, crop), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (width, crop), 1)
+    j_eff = jnp.where(flip > 0, crop - 1 - j_ids, j_ids)
+    s_sel = (w_ids == j_eff + ox).astype(jnp.float32)
+
+    y = jnp.dot(r_sel, x, preferred_element_type=jnp.float32)  # (crop, W)
+    z = jnp.dot(y, s_sel, preferred_element_type=jnp.float32)  # (crop, crop)
+    out_ref[0, 0] = (z * (2.0 / 255.0) - 1.0).astype(out_dtype)
 
 
 def augment_batch_pallas(images: jax.Array, key: jax.Array, crop: int,
                          out_dtype=jnp.float32, flip: bool = True) -> jax.Array:
     """uint8 NHWC (B, H, W, C) -> out_dtype NHWC (B, crop, crop, C) in [-1,1].
 
-    Numerics match uig.kernels.augment.augment_batch exactly (same key ->
-    same offsets/flips -> same pixels).
+    Numerics match uig.kernels.augment.augment_batch (same key -> same
+    offsets/flips -> same pixels, up to 1 ulp of fma ordering).
     """
     b, h, w, c = images.shape
     if h < crop or w < crop:
@@ -89,17 +89,18 @@ def augment_batch_pallas(images: jax.Array, key: jax.Array, crop: int,
 
     nchw = jnp.transpose(images, (0, 3, 1, 2))  # W onto lanes
     kernel = functools.partial(
-        _augment_kernel, crop=crop, width=w, out_dtype=jnp.dtype(out_dtype)
+        _augment_kernel, crop=crop, height=h, width=w,
+        out_dtype=jnp.dtype(out_dtype),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b, c),
         in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda i, meta: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, h, w), lambda i, j, meta: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, crop, crop),
-                               lambda i, meta: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, crop, crop),
+                               lambda i, j, meta: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
