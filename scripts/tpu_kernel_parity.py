@@ -66,8 +66,10 @@ def check_attention():
     ref = np.asarray(attention_xla(q, k, v))
     got = np.asarray(jax.jit(attention_pallas)(q, k, v))
     err = np.abs(ref - got).max()
-    print(f"attention parity: max|diff|={err:.2e} {'OK' if err < 2e-5 else 'FAIL'}")
-    return err < 2e-5
+    # fp32 softmax over N=1024 in different reduction orders: ~1e-5 scale
+    tol = 1e-4
+    print(f"attention parity: max|diff|={err:.2e} {'OK' if err < tol else 'FAIL'}")
+    return err < tol
 
 
 if __name__ == "__main__":

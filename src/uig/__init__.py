@@ -13,6 +13,37 @@ derived in SURVEY.md from the unpaired-translation domain + BASELINE.json):
 * data-parallel training over a ``jax.sharding.Mesh`` with gradient ``pmean``
   over the ICI (``shard_map``); multi-host DP over DCN
 * EMA generator weights, exact checkpoint/resume (orbax), FID eval, CLIs
+
+High-level API::
+
+    from uig import Config, get_preset, make_mesh, fit
+    fit(get_preset("cyclegan128"))
+
+or assemble manually::
+
+    from uig import make_mesh
+    from uig.train.cyclegan import CycleGANTrainer
+    trainer = CycleGANTrainer(cfg, make_mesh())
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: importing uig must not pull jax eagerly
+    if name in ("Config", "get_preset", "apply_overrides"):
+        import uig.config as m
+
+        return getattr(m, name)
+    if name == "make_mesh":
+        from uig.runtime import make_mesh
+
+        return make_mesh
+    if name == "fit":
+        from uig.train.loop import fit
+
+        return fit
+    if name == "build_trainer":
+        from uig.train.loop import build_trainer
+
+        return build_trainer
+    raise AttributeError(name)

@@ -39,6 +39,10 @@ class ModelConfig:
     # fp32 for bit-exact eval — BASELINE.json north_star fidelity clause).
     compute_dtype: str = "bfloat16"
     eval_dtype: str = "float32"
+    # rematerialize generator forwards in the loss (jax.checkpoint): trades
+    # FLOPs for HBM so 512²/large-batch configs fit (SURVEY.md §7 donation/
+    # memory note)
+    remat: bool = False
     # VQGAN (rung 5)
     vq_embed_dim: int = 256
     vq_codebook_size: int = 1024

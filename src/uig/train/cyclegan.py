@@ -216,13 +216,16 @@ class CycleGANTrainer:
 
         lam = loss_cfg.lambda_cycle
         lam_id = loss_cfg.lambda_identity * lam
+        # optional remat: recompute generator forwards in the backward pass
+        # (HBM for FLOPs — needed for 512²/large-batch HBM fits)
+        g_apply = jax.checkpoint(G.apply) if cfg.model.remat else G.apply
 
         # ---------------- G update ----------------
         def g_loss_fn(g_params):
-            fake_b = G.apply(g_params["a2b"], real_a)
-            fake_a = G.apply(g_params["b2a"], real_b)
-            rec_a = G.apply(g_params["b2a"], fake_b)
-            rec_b = G.apply(g_params["a2b"], fake_a)
+            fake_b = g_apply(g_params["a2b"], real_a)
+            fake_a = g_apply(g_params["b2a"], real_b)
+            rec_a = g_apply(g_params["b2a"], fake_b)
+            rec_b = g_apply(g_params["a2b"], fake_a)
 
             adv = (
                 L.gan_loss_g(D.apply(state.d_params["b"], fake_b), loss_cfg.gan_mode)
@@ -232,8 +235,8 @@ class CycleGANTrainer:
             total = adv + cyc
             idt = jnp.float32(0.0)
             if lam_id > 0:
-                idt_b = G.apply(g_params["a2b"], real_b)
-                idt_a = G.apply(g_params["b2a"], real_a)
+                idt_b = g_apply(g_params["a2b"], real_b)
+                idt_a = g_apply(g_params["b2a"], real_a)
                 idt = lam_id * (
                     L.identity_loss(real_b, idt_b) + L.identity_loss(real_a, idt_a)
                 )

@@ -45,6 +45,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.vqgan_trainer import VQGANTrainer
 
         return VQGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "vaegan":
+        from uig.train.vaegan_trainer import VAEGANTrainer
+
+        return VAEGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     raise ValueError(f"unknown model kind {kind!r}")
 
 

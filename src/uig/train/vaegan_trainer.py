@@ -1,16 +1,9 @@
-"""VQGAN trainer — BASELINE.json rung 5 (SURVEY.md §2 "VQGAN stretch").
+"""VAE-GAN trainer (BASELINE.json rung 4 variant; SURVEY.md §0 VAE-GAN).
 
-Latent-space unpaired generation: ONE VQGAN autoencoder is trained over the
-union of both domains (each step's batch is the concatenation of the A and B
-halves the pipeline yields), learning a shared discrete codebook; the
-serving paths are reconstruction (translate ≡ reconstruct) and
-``decode_codes`` for latent-space sampling.
-
-Losses: L1 reconstruction + codebook + β·commitment (+ optional LPIPS),
-plus a hinge-GAN term gated on by ``loss.vq_disc_start`` (lax-select inside
-the jitted step — no Python branching on the step counter). Same TPU
-structure as the other trainers: one XLA program per step under shard_map,
-pmean'd grads, donated state, bf16 compute / fp32 losses+Adam.
+Same single-XLA-program / shard_map / donated-state structure as the other
+trainers: recon L1 + β·KL (+ optional LPIPS) + gated hinge/LSGAN adversarial
+term; one autoencoder over the union of both domains;
+``sample(state, rng, n)`` is the unconditional-generation path.
 """
 
 from __future__ import annotations
@@ -26,24 +19,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from uig.config import Config
 from uig.kernels.augment import augment
 from uig.models.patch_disc import PatchDiscriminator
-from uig.models.vqgan import VQGANGenerator
+from uig.models.vaegan import VAEGANGenerator
 from uig.runtime.prng import fold_step, split_named
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.state import lr_schedule, make_optimizer
 
 
-class VQGANState(struct.PyTreeNode):
+class VAEGANState(struct.PyTreeNode):
     g_params: dict
     d_params: dict
     g_opt: optax.OptState
     d_opt: optax.OptState
-    ema: dict  # {"a2b": generator params} (translate == reconstruct)
+    ema: dict  # {"a2b": generator params}
     rng: jax.Array
     step: jax.Array
 
 
-class VQGANTrainer:
+class VAEGANTrainer:
     directions = ("a2b",)
 
     def __init__(self, cfg: Config, mesh: Mesh,
@@ -56,14 +49,13 @@ class VQGANTrainer:
         kw = dict(
             base_features=m.vq_base_features,
             channel_mults=m.vq_channel_mults,
-            embed_dim=m.vq_embed_dim,
-            codebook_size=m.vq_codebook_size,
+            latent_dim=m.vq_embed_dim,
             out_channels=m.out_channels,
             attn_resolutions=m.vq_attn_resolutions,
             attn_impl=m.attn_impl,
         )
-        self.generator = VQGANGenerator(dtype=dt, **kw)
-        self.eval_generator = VQGANGenerator(dtype=jnp.dtype(m.eval_dtype), **kw)
+        self.generator = VAEGANGenerator(dtype=dt, **kw)
+        self.eval_generator = VAEGANGenerator(dtype=jnp.dtype(m.eval_dtype), **kw)
         self.discriminator = PatchDiscriminator(
             base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
             dtype=dt)
@@ -71,6 +63,7 @@ class VQGANTrainer:
         self.d_tx = make_optimizer(cfg.opt)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        self.kl_weight = m.vq_beta  # reuse the commitment-weight knob for KL
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -81,15 +74,14 @@ class VQGANTrainer:
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_apply)
 
-    # ------------------------------------------------------------------
     def _abstract_state(self, rng):
         cfg = self.cfg
         hw = cfg.model.image_size
         sample = jnp.zeros((1, hw, hw, cfg.model.in_channels), jnp.float32)
-        kg, kd = jax.random.split(rng)
-        g_params = self.generator.init(kg, sample)
+        kg, kd, ks = jax.random.split(rng, 3)
+        g_params = self.generator.init(kg, sample, ks)
         d_params = self.discriminator.init(kd, sample)
-        return VQGANState(
+        return VAEGANState(
             g_params=g_params,
             d_params=d_params,
             g_opt=self.g_tx.init(g_params),
@@ -99,25 +91,19 @@ class VQGANTrainer:
             step=jnp.zeros((), jnp.int32),
         )
 
-    def init_state(self, rng: jax.Array) -> VQGANState:
-        state = self._abstract_state(rng)
-        return jax.device_put(state, self.state_shardings())
+    def init_state(self, rng: jax.Array) -> VAEGANState:
+        return jax.device_put(self._abstract_state(rng), self.state_shardings())
 
-    def _specs_for(self, state_like) -> VQGANState:
+    def _specs_for(self, state_like) -> VAEGANState:
         rep = P()
 
-        def bc(subtree):
-            return jax.tree_util.tree_map(lambda _: rep, subtree)
+        def bc(t):
+            return jax.tree_util.tree_map(lambda _: rep, t)
 
-        return VQGANState(
-            g_params=bc(state_like.g_params),
-            d_params=bc(state_like.d_params),
-            g_opt=bc(state_like.g_opt),
-            d_opt=bc(state_like.d_opt),
-            ema=bc(state_like.ema),
-            rng=rep,
-            step=rep,
-        )
+        return VAEGANState(
+            g_params=bc(state_like.g_params), d_params=bc(state_like.d_params),
+            g_opt=bc(state_like.g_opt), d_opt=bc(state_like.d_opt),
+            ema=bc(state_like.ema), rng=rep, step=rep)
 
     def state_shardings(self):
         from jax.sharding import NamedSharding
@@ -128,8 +114,7 @@ class VQGANTrainer:
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
 
-    # ------------------------------------------------------------------
-    def _device_step(self, state: VQGANState, real_a, real_b):
+    def _device_step(self, state: VAEGANState, real_a, real_b):
         cfg = self.cfg
         loss_cfg = cfg.loss
         axis = self.axis
@@ -137,7 +122,7 @@ class VQGANTrainer:
 
         step_key = fold_step(state.rng, state.step)
         step_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
-        keys = split_named(step_key, ("aug_a", "aug_b"))
+        keys = split_named(step_key, ("aug_a", "aug_b", "latent"))
 
         crop = cfg.model.image_size
         if real_a.dtype == jnp.uint8:
@@ -148,29 +133,26 @@ class VQGANTrainer:
         else:
             real_a = real_a.astype(dt)
             real_b = real_b.astype(dt)
-        # one shared-codebook autoencoder over the union of both domains
         x = jnp.concatenate([real_a, real_b], axis=0)
 
         disc_on = (state.step >= loss_cfg.vq_disc_start).astype(jnp.float32)
         adv_w = loss_cfg.lambda_vq_adv * disc_on
-
         g_apply = (jax.checkpoint(self.generator.apply) if cfg.model.remat
                    else self.generator.apply)
 
         def g_loss_fn(g_params):
-            recon, vq = g_apply(g_params, x)
-            rec = L.l1_loss(x, recon)
-            codebook = vq.codebook_loss + cfg.model.vq_beta * vq.commitment_loss
-            adv = L.gan_loss_g(self.discriminator.apply(state.d_params, recon),
-                               loss_cfg.gan_mode)
-            total = rec + codebook + adv_w * adv
+            out = g_apply(g_params, x, keys["latent"])
+            rec = L.l1_loss(x, out.recon)
+            adv = L.gan_loss_g(
+                self.discriminator.apply(state.d_params, out.recon),
+                loss_cfg.gan_mode)
+            total = rec + self.kl_weight * out.kl + adv_w * adv
             lpips = jnp.float32(0.0)
             if loss_cfg.lambda_lpips > 0 and self.perceptual_fn is not None:
-                lpips = loss_cfg.lambda_lpips * self.perceptual_fn(x, recon)
+                lpips = loss_cfg.lambda_lpips * self.perceptual_fn(x, out.recon)
                 total = total + lpips
-            return total, {"recon": recon, "rec": rec, "codebook": codebook,
-                           "g_adv": adv, "perplexity": vq.perplexity,
-                           "lpips": lpips}
+            return total, {"recon": out.recon, "rec": rec, "kl": out.kl,
+                           "g_adv": adv, "lpips": lpips}
 
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params)
@@ -189,7 +171,6 @@ class VQGANTrainer:
 
         (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
-        # gate D updates until vq_disc_start (select, not python branch)
         d_grads = jax.tree_util.tree_map(lambda g: g * disc_on, d_grads)
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
@@ -197,46 +178,47 @@ class VQGANTrainer:
 
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],
-            "codebook": aux["codebook"], "g_adv": aux["g_adv"],
-            "perplexity": aux["perplexity"], "lpips": aux["lpips"],
+            "kl": aux["kl"], "g_adv": aux["g_adv"], "lpips": aux["lpips"],
             "lr": self._lr(state.step),
         }
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float32),
                                    metrics), axis)
-        new_state = state.replace(
+        return state.replace(
             g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
-            ema=ema, step=state.step + 1)
-        return new_state, metrics
+            ema=ema, step=state.step + 1), metrics
 
     def _build_train_step(self):
         abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
         specs = self._specs_for(abstract)
-        batch_spec = P(self.axis)
-        names = ("g_loss", "d_loss", "rec", "codebook", "g_adv",
-                 "perplexity", "lpips", "lr")
+        names = ("g_loss", "d_loss", "rec", "kl", "g_adv", "lpips", "lr")
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
-            in_specs=(specs, batch_spec, batch_spec),
+            in_specs=(specs, P(self.axis), P(self.axis)),
             out_specs=(specs, {k: P() for k in names}), check_vma=False)
         return jax.jit(shmapped, donate_argnums=(0,))
 
-    def train_step(self, state: VQGANState, batch):
+    def train_step(self, state: VAEGANState, batch):
         real_a, real_b = batch
         return self._train_step(state, real_a, real_b)
 
-    # ------------------------------------------------------------------
     def _eval_apply(self, params, x):
         with jax.default_matmul_precision("highest"):
-            recon, _ = self.eval_generator.apply(params, x.astype(jnp.float32))
-            return recon
+            mean, _ = self.eval_generator.apply(
+                params, x.astype(jnp.float32),
+                method=VAEGANGenerator.encode)
+            return self.eval_generator.apply(
+                params, mean, method=VAEGANGenerator.decode)
 
     def translate(self, ema_params, x, direction: str = "a2b"):
-        """VQGAN 'translation' is reconstruction through the shared codebook."""
+        """Deterministic reconstruction through the posterior mean."""
         return self._eval_step(ema_params["a2b"], x)
 
-    def decode_codes(self, ema_params, codes):
+    def sample(self, ema_params, rng, n: int):
+        """Unconditional generation from the prior."""
+        latent_hw = self.cfg.model.image_size // (
+            2 ** (len(self.cfg.model.vq_channel_mults) - 1))
         return jax.jit(
-            lambda p, c: self.eval_generator.apply(
-                p, c, method=VQGANGenerator.decode_codes)
-        )(ema_params["a2b"], codes)
+            lambda p, r: self.eval_generator.apply(
+                p, r, n, latent_hw, method=VAEGANGenerator.sample)
+        )(ema_params["a2b"], rng)

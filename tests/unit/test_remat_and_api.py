@@ -1,0 +1,70 @@
+import dataclasses
+
+import jax
+import numpy as np
+
+
+def test_remat_step_matches_no_remat():
+    """jax.checkpoint must not change the math, only the schedule."""
+    from uig.config import get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.cyclegan import CycleGANTrainer
+
+    def cfg(remat):
+        c = get_preset("smoke64")
+        return dataclasses.replace(
+            c,
+            model=dataclasses.replace(c.model, image_size=16, n_res_blocks=1,
+                                      d_layers=2, remat=remat),
+            data=dataclasses.replace(c.data, batch_size=2, load_size=16),
+            opt=dataclasses.replace(c.opt, optimizer="sgd"),
+        )
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    outs = {}
+    for remat in (False, True):
+        mesh = make_mesh(1)
+        tr = CycleGANTrainer(cfg(remat), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[remat] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+        )
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=1e-5, err_msg=k)
+    for x, y in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+def test_swap_ema_roundtrip():
+    from uig.config import get_preset
+    from uig.runtime import make_mesh
+    from uig.train.cyclegan import CycleGANTrainer
+    from uig.train.ema import swap_ema
+
+    c = get_preset("smoke64")
+    c = dataclasses.replace(
+        c, model=dataclasses.replace(c.model, image_size=16, n_res_blocks=1,
+                                     d_layers=2),
+        data=dataclasses.replace(c.data, batch_size=1, load_size=16))
+    tr = CycleGANTrainer(c, make_mesh(1))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    swapped = swap_ema(state)
+    back = swap_ema(swapped)
+    for x, y in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(back.g_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_top_level_api_lazy_exports():
+    import uig
+
+    assert callable(uig.get_preset)
+    assert callable(uig.make_mesh)
+    assert callable(uig.fit)
+    assert uig.Config is not None
