@@ -47,7 +47,7 @@ def main():
     image_size = int(os.environ.get("UIG_BENCH_SIZE", "256"))
     steps = int(os.environ.get("UIG_BENCH_STEPS", "20"))
     batch_candidates = [int(b) for b in
-                        os.environ.get("UIG_BENCH_BATCHES", "8,4,2,1").split(",")]
+                        os.environ.get("UIG_BENCH_BATCHES", "16,8,4,1").split(",")]
 
     dev = jax.devices()[0]
     n_chips = jax.device_count()

@@ -21,18 +21,30 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3,
+                 best_metric: str | None = None, best_mode: str = "min"):
+        """keep-last-N retention; with ``best_metric`` (e.g. "fid") the best
+        checkpoint by that metric is additionally retained (SURVEY.md §5
+        "keep-last-N + best-FID retention")."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        kwargs = {}
+        if best_metric:
+            kwargs = dict(
+                best_fn=lambda m: m.get(best_metric, float("inf")),
+                best_mode=best_mode,
+            )
         self._mngr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=True
+                max_to_keep=keep, create=True, enable_async_checkpointing=True,
+                **kwargs,
             ),
         )
 
     def save(self, step: int, state: Any, data_state: dict | None = None,
-             extra: dict | None = None, force: bool = False) -> None:
+             extra: dict | None = None, force: bool = False,
+             metrics: dict | None = None) -> None:
         """Async save of the state pytree + JSON side-state."""
         meta = {"data_state": data_state or {}, "extra": extra or {}}
         self._mngr.save(
@@ -42,6 +54,7 @@ class CheckpointManager:
                 meta=ocp.args.JsonSave(meta),
             ),
             force=force,
+            metrics=metrics,
         )
 
     def restore(self, state_template: Any, step: int | None = None):

@@ -112,6 +112,8 @@ class EvalConfig:
     fid_num_samples: int = 500
     fid_features: str = "auto"  # auto | inception | random
     inception_weights: str = ""  # optional .npz path (zero-egress environment)
+    fid_every: int = 0  # in-training FID cadence (0 = off); enables best-FID
+    fid_batch_size: int = 16
     sample_grid_every: int = 1000
     sample_grid_n: int = 4
 

@@ -67,7 +67,9 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     os.makedirs(workdir, exist_ok=True)
     dump_run_config(config_to_dict(cfg), workdir)
     writer = MetricsWriter(workdir, tensorboard=cfg.run.tensorboard)
-    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), keep=cfg.run.ckpt_keep)
+    ckpt = CheckpointManager(
+        os.path.join(workdir, "ckpt"), keep=cfg.run.ckpt_keep,
+        best_metric="fid" if cfg.eval.fid_every else None)
 
     state = trainer.init_state(jax.random.PRNGKey(cfg.run.seed))
     pipe = make_input_pipeline(cfg, mesh, start=False)
@@ -89,6 +91,7 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     timer = StepTimer()
     metrics = {}
     last_saved = -1
+    last_fid = None
     prof_start, prof_stop = cfg.run.profile_steps
     profiling = False
     try:
@@ -115,8 +118,14 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
                 host_m["input_stall_pct"] = timer.stall_pct
                 writer.write(step, host_m)
                 timer.reset()
+            if (cfg.eval.fid_every and step % cfg.eval.fid_every == 0
+                    and hasattr(trainer, "translate")):
+                last_fid = _inline_fid(cfg, trainer, state)
+                writer.write(step, {"fid": last_fid})
             if cfg.run.ckpt_every and step % cfg.run.ckpt_every == 0:
-                ckpt.save(step, state, data_state=pipe.state_dict())
+                ckpt.save(step, state, data_state=pipe.state_dict(),
+                          metrics={"fid": last_fid} if last_fid is not None
+                          else None)
                 last_saved = step
             if (
                 cfg.eval.sample_grid_every
@@ -137,6 +146,46 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
     return {k: float(v) for k, v in metrics.items()} if metrics else {}
+
+
+def _eval_datasets(cfg):
+    d = cfg.data
+    if d.source == "folders":
+        from uig.data.datasets import FolderDataset
+
+        return FolderDataset(d.dir_a, d.load_size), FolderDataset(
+            d.dir_b, d.load_size)
+    from uig.data.datasets import SyntheticUnpairedDataset
+
+    syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
+    return syn.domain_a, syn.domain_b
+
+
+def _inline_fid(cfg, trainer, state) -> float:
+    """In-training FID (a2b) on up to eval.fid_num_samples images — feeds the
+    best-FID checkpoint retention (SURVEY.md §5)."""
+    import jax.numpy as jnp
+
+    from uig.eval.fid import compute_fid, make_feature_fn
+
+    ds_a, ds_b = _eval_datasets(cfg)
+    n = min(cfg.eval.fid_num_samples, len(ds_a), len(ds_b))
+    bs = cfg.eval.fid_batch_size
+    crop = cfg.model.image_size
+
+    def real_batches():
+        for s in range(0, n, bs):
+            raw = np.stack([ds_b[i] for i in range(s, min(s + bs, n))])
+            yield center_crop_normalize(jnp.asarray(raw), crop)
+
+    def fake_batches():
+        for s in range(0, n, bs):
+            raw = np.stack([ds_a[i] for i in range(s, min(s + bs, n))])
+            yield trainer.translate(
+                state.ema, center_crop_normalize(jnp.asarray(raw), crop), "a2b")
+
+    feature_fn, _ = make_feature_fn(cfg)
+    return compute_fid(real_batches(), fake_batches(), feature_fn)
 
 
 def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
