@@ -13,18 +13,12 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
     import jax.numpy as jnp
 
     from uig.cli.translate import load_run
-    from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
+    from uig.data import eval_datasets
     from uig.eval.fid import compute_fid, make_feature_fn
     from uig.kernels import center_crop_normalize
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
-    d = cfg.data
-    if d.source == "folders":
-        ds_a = FolderDataset(d.dir_a, d.load_size)
-        ds_b = FolderDataset(d.dir_b, d.load_size)
-    else:
-        syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
-        ds_a, ds_b = syn.domain_a, syn.domain_b
+    ds_a, ds_b = eval_datasets(cfg)
     src, tgt = (ds_a, ds_b) if direction == "a2b" else (ds_b, ds_a)
 
     n = num_samples or cfg.eval.fid_num_samples

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--num-samples", type=int, default=None)
     ev.add_argument("--step", type=int, default=None)
     _add_common(ev)
+
+    pk = sub.add_parser(
+        "pack", help="pre-decode an image folder into a memmapped .npy")
+    pk.add_argument("--input-dir", required=True)
+    pk.add_argument("--output", required=True, help=".npy output path")
+    pk.add_argument("--load-size", type=int, required=True)
     return p
 
 
@@ -77,6 +83,13 @@ def main(argv=None) -> int:
                           direction=args.direction, batch_size=args.batch_size,
                           step=args.step, overrides=args.overrides)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
+        return 0
+    if args.cmd == "pack":
+        from uig.data.datasets import FolderDataset, PackedDataset
+
+        src = FolderDataset(args.input_dir, args.load_size)
+        n = PackedDataset.pack(src, args.output)
+        print(json.dumps({"packed": n, "output": args.output}))
         return 0
     if args.cmd == "eval-fid":
         from uig.cli.eval_fid import run_eval_fid

@@ -83,6 +83,28 @@ def _cut256_multihost() -> Config:
     )
 
 
+def _vaegan256() -> Config:
+    # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
+    return Config(
+        model=ModelConfig(
+            kind="vaegan",
+            image_size=256,
+            vq_base_features=64,
+            vq_channel_mults=(1, 2, 2, 4),
+            vq_embed_dim=64,
+            vq_attn_resolutions=(32,),
+            vq_beta=1e-2,  # KL weight
+            attn_impl="pallas",
+        ),
+        loss=LossConfig(gan_mode="hinge", lambda_vq_adv=0.5, vq_disc_start=5_000),
+        opt=OptConfig(lr=1e-4, b1=0.5, b2=0.9, total_steps=300_000,
+                      decay_start_step=150_000),
+        data=DataConfig(load_size=286, batch_size=16, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0, multihost=True),
+        run=RunConfig(name="vaegan256"),
+    )
+
+
 def _vqgan512() -> Config:
     return Config(
         model=ModelConfig(
@@ -106,6 +128,7 @@ PRESETS = {
     "cyclegan128": _cyclegan128,
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
+    "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,
 }
 

@@ -1,9 +1,26 @@
-from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
+from uig.data.datasets import FolderDataset, PackedDataset, SyntheticUnpairedDataset
 from uig.data.pipeline import UnpairedPipeline, make_input_pipeline
+
+
+def eval_datasets(cfg):
+    """(domain_a, domain_b) index-addressable datasets for eval paths
+    (sample grids, FID) — same source resolution as the train pipeline."""
+    d = cfg.data
+    if d.source == "folders":
+        return (FolderDataset(d.dir_a, d.load_size),
+                FolderDataset(d.dir_b, d.load_size))
+    if d.source == "packed":
+        return (PackedDataset(d.dir_a, d.load_size),
+                PackedDataset(d.dir_b, d.load_size))
+    syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
+    return syn.domain_a, syn.domain_b
+
 
 __all__ = [
     "FolderDataset",
+    "PackedDataset",
     "SyntheticUnpairedDataset",
     "UnpairedPipeline",
     "make_input_pipeline",
+    "eval_datasets",
 ]

@@ -76,6 +76,51 @@ class FolderDataset:
         return np.stack([self[i] for i in idxs])
 
 
+class PackedDataset:
+    """Pre-decoded images in one memmapped ``.npy`` (N, S, S, 3) uint8 file —
+    uig's ArrayRecord/TFRecord equivalent (SURVEY.md §2 "Input pipeline":
+    "host JPEG decode (or pre-decoded ...)"). Random access is an mmap page
+    read: no decode work on the hot path at all, so the host never becomes
+    the bottleneck at scale. Create with ``python -m uig.cli pack``.
+    """
+
+    def __init__(self, path: str, load_size: int | None = None):
+        self.path = path
+        self.arr = np.load(path, mmap_mode="r")
+        if self.arr.ndim != 4 or self.arr.shape[-1] != 3 or \
+                self.arr.dtype != np.uint8:
+            raise ValueError(
+                f"{path}: expected uint8 (N, S, S, 3), got "
+                f"{self.arr.dtype} {self.arr.shape}")
+        if load_size is not None and self.arr.shape[1] != load_size:
+            raise ValueError(
+                f"{path} is packed at {self.arr.shape[1]}px, config wants "
+                f"load_size={load_size}; re-pack or fix the config")
+
+    def __len__(self) -> int:
+        return self.arr.shape[0]
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return np.asarray(self.arr[idx])
+
+    def get_batch(self, idxs: list[int], n_threads: int = 0) -> np.ndarray:
+        del n_threads  # mmap gather needs no workers
+        return np.asarray(self.arr[np.asarray(idxs)])
+
+    @staticmethod
+    def pack(src, out_path: str) -> int:
+        """Pack any index-addressable dataset into a .npy; returns count."""
+        n = len(src)
+        first = src[0]
+        arr = np.lib.format.open_memmap(
+            out_path, mode="w+", dtype=np.uint8, shape=(n,) + first.shape)
+        arr[0] = first
+        for i in range(1, n):
+            arr[i] = src[i]
+        arr.flush()
+        return n
+
+
 class _SyntheticDomain:
     """One procedural domain; index i → deterministic uint8 image."""
 

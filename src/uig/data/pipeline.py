@@ -196,6 +196,11 @@ def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
     elif d.source == "folders":
         ds_a = FolderDataset(d.dir_a, d.load_size)
         ds_b = FolderDataset(d.dir_b, d.load_size)
+    elif d.source == "packed":
+        from uig.data.datasets import PackedDataset
+
+        ds_a = PackedDataset(d.dir_a, d.load_size)
+        ds_b = PackedDataset(d.dir_b, d.load_size)
     else:
         raise ValueError(f"unknown data source {d.source!r}")
 

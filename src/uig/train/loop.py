@@ -148,27 +148,15 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     return {k: float(v) for k, v in metrics.items()} if metrics else {}
 
 
-def _eval_datasets(cfg):
-    d = cfg.data
-    if d.source == "folders":
-        from uig.data.datasets import FolderDataset
-
-        return FolderDataset(d.dir_a, d.load_size), FolderDataset(
-            d.dir_b, d.load_size)
-    from uig.data.datasets import SyntheticUnpairedDataset
-
-    syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
-    return syn.domain_a, syn.domain_b
-
-
 def _inline_fid(cfg, trainer, state) -> float:
     """In-training FID (a2b) on up to eval.fid_num_samples images — feeds the
     best-FID checkpoint retention (SURVEY.md §5)."""
     import jax.numpy as jnp
 
+    from uig.data import eval_datasets
     from uig.eval.fid import compute_fid, make_feature_fn
 
-    ds_a, ds_b = _eval_datasets(cfg)
+    ds_a, ds_b = eval_datasets(cfg)
     n = min(cfg.eval.fid_num_samples, len(ds_a), len(ds_b))
     bs = cfg.eval.fid_batch_size
     crop = cfg.model.image_size
@@ -197,18 +185,10 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
         from PIL import Image
     except ImportError:
         return
-    from uig.data.datasets import SyntheticUnpairedDataset
+    from uig.data import eval_datasets
 
     n = n or cfg.eval.sample_grid_n
-    d = cfg.data
-    if d.source == "folders":
-        from uig.data.datasets import FolderDataset
-
-        ds_a = FolderDataset(d.dir_a, d.load_size)
-        ds_b = FolderDataset(d.dir_b, d.load_size)
-    else:
-        syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
-        ds_a, ds_b = syn.domain_a, syn.domain_b
+    ds_a, ds_b = eval_datasets(cfg)
     import jax.numpy as jnp
 
     raw_a = jnp.asarray(np.stack([ds_a[i] for i in range(n)]))
