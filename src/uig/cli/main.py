@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--input-dir", required=True)
     pk.add_argument("--output", required=True, help=".npy output path")
     pk.add_argument("--load-size", type=int, required=True)
+
+    sm = sub.add_parser(
+        "sample", help="unconditional generation (vaegan prior / vqgan codes)")
+    sm.add_argument("--run-dir", required=True)
+    sm.add_argument("--output-dir", required=True)
+    sm.add_argument("-n", type=int, default=16)
+    sm.add_argument("--seed", type=int, default=0)
+    sm.add_argument("--step", type=int, default=None)
+    _add_common(sm)
     return p
 
 
@@ -90,6 +99,13 @@ def main(argv=None) -> int:
         src = FolderDataset(args.input_dir, args.load_size)
         n = PackedDataset.pack(src, args.output)
         print(json.dumps({"packed": n, "output": args.output}))
+        return 0
+    if args.cmd == "sample":
+        from uig.cli.sample import run_sample
+
+        n = run_sample(args.run_dir, args.output_dir, n=args.n,
+                       seed=args.seed, step=args.step, overrides=args.overrides)
+        print(json.dumps({"sampled": n, "output_dir": args.output_dir}))
         return 0
     if args.cmd == "eval-fid":
         from uig.cli.eval_fid import run_eval_fid
