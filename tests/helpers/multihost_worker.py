@@ -1,0 +1,70 @@
+"""Worker for the two-process multi-host DP test.
+
+Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id> <outdir>
+
+Each process gets 4 fake CPU devices; the global mesh is 8 devices over DCN
+(the same jax.distributed plumbing a real multi-host TPU pod uses). Runs one
+CycleGAN train step with per-host input shards and writes its view of the
+metrics + a param checksum for cross-process comparison.
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "..", "src"))
+
+import jax
+
+coordinator, num_procs, proc_id, outdir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=num_procs, process_id=proc_id)
+
+import dataclasses
+
+import numpy as np
+
+from uig.config import get_preset
+from uig.data import make_input_pipeline
+from uig.runtime import make_mesh
+from uig.train.cyclegan import CycleGANTrainer
+
+assert jax.process_count() == num_procs
+assert jax.device_count() == 4 * num_procs
+
+cfg = get_preset("smoke64")
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, image_size=16, n_res_blocks=1,
+                              d_layers=2),
+    data=dataclasses.replace(cfg.data, batch_size=8, load_size=20,
+                             synthetic_len=16, num_workers=1),
+    opt=dataclasses.replace(cfg.opt, pool_size=2),
+)
+mesh = make_mesh()  # all 8 global devices
+trainer = CycleGANTrainer(cfg, mesh)
+state = trainer.init_state(jax.random.PRNGKey(0))
+pipe = make_input_pipeline(cfg, mesh, start=False)  # per-host shards inside
+batch = next(pipe)
+state, metrics = trainer.train_step(state, batch)
+host_metrics = {k: float(v) for k, v in metrics.items()}
+
+# checksum of (replicated) updated params — must agree across processes
+leaves = jax.tree_util.tree_leaves(jax.device_get(
+    jax.tree_util.tree_map(
+        lambda x: x.addressable_data(0), state.g_params)))
+checksum = float(sum(np.float64(np.asarray(l)).sum() for l in leaves))
+
+with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
+    json.dump({"metrics": host_metrics, "checksum": checksum,
+               "devices": jax.device_count(),
+               "local_devices": jax.local_device_count()}, f)
+print("WORKER_DONE", proc_id)
