@@ -12,7 +12,8 @@ Two implementations, parity-tested against each other:
   * this module — pure XLA: per-example dynamic_slice (vmap) + select + fma.
     XLA fuses the whole thing into a single elementwise/gather kernel.
   * uig.kernels.augment_pallas — a Pallas/Mosaic kernel with scalar-prefetched
-    crop offsets and in-kernel flip (lane reversal), used on TPU.
+    crop offsets; crop+flip run as exact 0/1 selector matmuls on the MXU in
+    the native NHWC lane layout (used on TPU).
 
 The deterministic path (``center_crop_normalize``) is shared by training-time
 eval and the translate CLI so inference preprocessing is pixel-identical to
