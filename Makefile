@@ -1,12 +1,15 @@
 # Developer entry points. PYTHONPATH=src is baked into each target.
 
 PY := PYTHONPATH=src python
+# CPU test runs must NOT claim the (single-claimant) axon TPU tunnel —
+# blanking PALLAS_AXON_POOL_IPS makes sitecustomize skip TPU registration.
+PYCPU := PALLAS_AXON_POOL_IPS= PYTHONPATH=src python
 
 test:
-	$(PY) -m pytest tests/ -x -q
+	$(PYCPU) -m pytest tests/ -x -q
 
 test-fast:
-	$(PY) -m pytest tests/unit -x -q
+	$(PYCPU) -m pytest tests/unit -x -q
 
 bench:
 	$(PY) bench.py

@@ -43,4 +43,11 @@ class PatchDiscriminator(nn.Module):
                     use_bias=False, dtype=dt)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.leaky_relu(x, 0.2)
-        return PadConv(1, 4, stride=1, pad=1, pad_mode="zeros", dtype=dt)(x)
+        x = PadConv(1, 4, stride=1, pad=1, pad_mode="zeros", dtype=dt)(x)
+        if 0 in x.shape:
+            raise ValueError(
+                f"PatchDiscriminator produced an EMPTY logit map {x.shape} — "
+                f"input spatial size is too small for n_layers={self.n_layers} "
+                "(losses over an empty map are NaN); use a larger image or "
+                "fewer layers")
+        return x

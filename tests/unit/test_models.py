@@ -46,6 +46,13 @@ def test_discriminator_patch_logits():
     assert 1 < y.shape[1] < 70  # a patch logit map, not a scalar
 
 
+def test_discriminator_too_small_input_raises():
+    d = PatchDiscriminator(n_layers=2)
+    x = jnp.zeros((1, 8, 8, 3))
+    with pytest.raises(ValueError, match="EMPTY logit map"):
+        d.init(jax.random.PRNGKey(0), x)
+
+
 def test_bf16_compute_fp32_params():
     g = ResNetGenerator(n_res_blocks=1, dtype=jnp.bfloat16)
     x = jnp.zeros((1, 16, 16, 3))
