@@ -1,9 +1,9 @@
 # Developer entry points. PYTHONPATH=src is baked into each target.
 
-PY := PYTHONPATH=src python
+PY := PYTHONPATH=src:$(PYTHONPATH) python
 # CPU test runs must NOT claim the (single-claimant) axon TPU tunnel —
 # blanking PALLAS_AXON_POOL_IPS makes sitecustomize skip TPU registration.
-PYCPU := PALLAS_AXON_POOL_IPS= PYTHONPATH=src python
+PYCPU := PALLAS_AXON_POOL_IPS= PYTHONPATH=src:$(PYTHONPATH) python
 
 test:
 	$(PYCPU) -m pytest tests/ -x -q
