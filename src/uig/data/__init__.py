@@ -12,6 +12,11 @@ def eval_datasets(cfg):
     if d.source == "packed":
         return (PackedDataset(d.dir_a, d.load_size),
                 PackedDataset(d.dir_b, d.load_size))
+    if d.source == "tfrecord":
+        from uig.data.datasets import TFRecordImageDataset
+
+        return (TFRecordImageDataset(d.dir_a, d.load_size),
+                TFRecordImageDataset(d.dir_b, d.load_size))
     syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
     return syn.domain_a, syn.domain_b
 

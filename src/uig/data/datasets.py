@@ -121,6 +121,90 @@ class PackedDataset:
         return n
 
 
+class TFRecordImageDataset:
+    """Random-access reader for TFRecord shards of tf.Example records with
+    JPEG/PNG bytes (SURVEY.md §2 "Input pipeline": "pre-decoded
+    ArrayRecord/TFRecord" family).
+
+    TFRecord is a sequential format; random access (which uig's
+    pure-function-of-counter sampling needs) comes from a one-time offset
+    scan of the framing (8-byte length + 4-byte crc + payload + 4-byte crc)
+    done in pure Python — no tf.data graph, no tf dependency on the hot
+    path. Record parsing uses tf.train.Example (tensorflow is an optional
+    extra; only imported here).
+    """
+
+    def __init__(self, paths, load_size: int,
+                 feature_key: str = "image/encoded"):
+        if isinstance(paths, str):
+            paths = sorted(
+                [paths] if os.path.isfile(paths) else [
+                    os.path.join(paths, f) for f in os.listdir(paths)
+                    if f.endswith((".tfrecord", ".tfrecords"))
+                ]
+            )
+        if not paths:
+            raise FileNotFoundError("no tfrecord files found")
+        self.paths = list(paths)
+        self.load_size = load_size
+        self.feature_key = feature_key
+        # (file_index, byte_offset, payload_length) per record
+        self._index: list[tuple[int, int, int]] = []
+        for fi, p in enumerate(self.paths):
+            size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                off = 0
+                while off + 12 <= size:
+                    f.seek(off)
+                    header = f.read(8)
+                    if len(header) < 8:
+                        break
+                    n = int.from_bytes(header, "little")
+                    self._index.append((fi, off + 12, n))
+                    off += 12 + n + 4  # len+lencrc + payload + datacrc
+        if not self._index:
+            raise ValueError(f"no records in {self.paths}")
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def _record_bytes(self, idx: int) -> bytes:
+        fi, off, n = self._index[idx]
+        with open(self.paths[fi], "rb") as f:
+            f.seek(off)
+            return f.read(n)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        raw = self._record_bytes(idx)
+        img_bytes = _example_feature(raw, self.feature_key)
+        with Image.open(io.BytesIO(img_bytes)) as im:
+            im = im.convert("RGB")
+            s = self.load_size
+            im = im.resize((s, s), Image.BICUBIC)
+            return np.asarray(im, dtype=np.uint8)
+
+
+def _example_feature(serialized: bytes, key: str) -> bytes:
+    """First bytes value of ``key`` in a serialized tf.train.Example."""
+    try:
+        import tensorflow as tf  # optional
+
+        ex = tf.train.Example.FromString(serialized)
+        vals = ex.features.feature[key].bytes_list.value
+        if not vals:
+            raise KeyError(f"feature {key!r} missing or not bytes")
+        return vals[0]
+    except ImportError as e:
+        raise ImportError(
+            "TFRecord parsing needs tensorflow (for tf.train.Example); "
+            "use data.source=packed for a dependency-free pre-decoded format"
+        ) from e
+
+
 class _SyntheticDomain:
     """One procedural domain; index i → deterministic uint8 image."""
 

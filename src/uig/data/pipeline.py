@@ -201,6 +201,11 @@ def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
 
         ds_a = PackedDataset(d.dir_a, d.load_size)
         ds_b = PackedDataset(d.dir_b, d.load_size)
+    elif d.source == "tfrecord":
+        from uig.data.datasets import TFRecordImageDataset
+
+        ds_a = TFRecordImageDataset(d.dir_a, d.load_size)
+        ds_b = TFRecordImageDataset(d.dir_b, d.load_size)
     else:
         raise ValueError(f"unknown data source {d.source!r}")
 
