@@ -112,6 +112,7 @@ class EvalConfig:
     fid_num_samples: int = 500
     fid_features: str = "auto"  # auto | inception | random
     inception_weights: str = ""  # optional .npz path (zero-egress environment)
+    vgg_weights: str = ""  # optional .npz for LPIPS (else random seed-0 VGG)
     fid_every: int = 0  # in-training FID cadence (0 = off); enables best-FID
     fid_batch_size: int = 16
     sample_grid_every: int = 1000

@@ -67,12 +67,20 @@ class FolderDataset:
             return np.asarray(im, dtype=np.uint8)
 
     def get_batch(self, idxs: list[int], n_threads: int = 8) -> np.ndarray:
-        """Batch decode; the native path parallelizes outside the GIL."""
+        """Batch decode; the native path parallelizes outside the GIL, the
+        PIL path over python worker threads (PIL releases the GIL during
+        decode, so threads still help)."""
         if self.decoder == "native":
             from uig.data import native_loader
 
             return native_loader.decode_batch(
                 [self.files[i] for i in idxs], self.load_size, n_threads)
+        if n_threads > 1 and len(idxs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_pil_pool"):
+                self._pil_pool = ThreadPoolExecutor(n_threads)
+            return np.stack(list(self._pil_pool.map(self.__getitem__, idxs)))
         return np.stack([self[i] for i in idxs])
 
 

@@ -86,6 +86,7 @@ class UnpairedPipeline:
         self._q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._error: Exception | None = None
         self._pool = None
         self._sharding = None
         if mesh is not None:
@@ -126,16 +127,23 @@ class UnpairedPipeline:
         return tuple(jax.device_put(x, self._sharding) for x in pair)
 
     def _producer(self) -> None:
-        while not self._stop.is_set():
-            t = self._t_next
-            dev = self._put_device(self._load_batch(t))
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put((t, dev), timeout=0.1)
-                    self._t_next = t + 1
-                    break
-                except queue.Full:
-                    continue
+                t = self._t_next
+                dev = self._put_device(self._load_batch(t))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((t, dev), timeout=0.1)
+                        self._t_next = t + 1
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as e:  # surface decode/device errors to the consumer
+            self._error = e
+            try:
+                self._q.put((-1, None), timeout=1.0)  # wake a blocked get()
+            except queue.Full:
+                pass
 
     def start(self) -> "UnpairedPipeline":
         if self._thread is None:
@@ -164,7 +172,11 @@ class UnpairedPipeline:
             self._t_consumed += 1
             return pair
         while True:
+            if self._error is not None:
+                raise RuntimeError("input pipeline producer died") from self._error
             t, dev = self._q.get()
+            if self._error is not None or dev is None:
+                raise RuntimeError("input pipeline producer died") from self._error
             if t == self._t_consumed:  # drop stale prefetches after a restore
                 self._t_consumed += 1
                 return dev

@@ -5,11 +5,11 @@ between channel-unit-normalized feature maps. The perceptual term is pure
 and closed over its params, so it inlines into the generator's jitted loss
 (one XLA program — no separate dispatch).
 
-Zero-egress environment: with ``cfg.eval.inception_weights``-style
-``vgg_weights`` npz absent, features come from a fixed seed-0 random VGG —
-random-VGG LPIPS is a known-reasonable perceptual metric and keeps the term
-deterministic. The loss is a *training signal*, not a reported metric, so
-relative behavior is what matters; the config records which one ran.
+Zero-egress environment: with ``cfg.eval.vgg_weights`` unset, features come
+from a fixed seed-0 random VGG — random-VGG LPIPS is a known-reasonable
+perceptual metric and keeps the term deterministic. The loss is a *training
+signal*, not a reported metric, so relative behavior is what matters; the
+resolved config (dumped next to checkpoints) records the weights path used.
 """
 
 from __future__ import annotations

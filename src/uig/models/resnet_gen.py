@@ -89,11 +89,31 @@ class ResNetGenerator(nn.Module):
         return y
 
     def with_features(self, x: jax.Array, taps: Sequence[int]):
-        """Forward pass returning (output, [features at layer indices]).
-
-        Used by the CUT trainer's PatchNCE loss (encoder-side taps).
-        """
+        """Full forward pass returning (output, [features at layer indices])."""
         return self._run(x, tuple(taps))
+
+    def encode_features(self, x: jax.Array, taps: Sequence[int]):
+        """Encoder-side features ONLY: stops at the last tap, skipping the
+        decoder half entirely — the CUT/PatchNCE hot path (the NCE loss
+        discards the translated output of its feature passes, so running the
+        upsample/head layers would be ~25% wasted generator FLOPs per step).
+        """
+        taps = tuple(taps)
+        last = max(taps)
+        feats = []
+        x = x.astype(self.dtype)
+        for i, layer in enumerate(self.layers):
+            if layer == "relu":
+                x = nn.relu(x)
+            elif layer == "tanh":
+                x = jnp.tanh(x)
+            else:
+                x = layer(x)
+            if i in taps:
+                feats.append(x)
+            if i >= last:
+                break
+        return feats
 
     @property
     def num_layers(self) -> int:

@@ -168,14 +168,15 @@ class CUTTrainer:
 
     # ------------------------------------------------------------------
     def _nce(self, g_params, src_img, dst_img, key):
-        """PatchNCE between encoder features of src and dst images."""
+        """PatchNCE between encoder features of src and dst images
+        (encoder-only forwards — the decoder half is skipped)."""
         cfg = self.cfg
-        _, f_src = self.generator.apply(
+        f_src = self.generator.apply(
             g_params["gen"], src_img, self.taps,
-            method=ResNetGenerator.with_features)
-        _, f_dst = self.generator.apply(
+            method=ResNetGenerator.encode_features)
+        f_dst = self.generator.apply(
             g_params["gen"], dst_img, self.taps,
-            method=ResNetGenerator.with_features)
+            method=ResNetGenerator.encode_features)
         total = jnp.float32(0.0)
         for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
             b, h, w, _ = fs.shape

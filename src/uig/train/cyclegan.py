@@ -96,36 +96,7 @@ class CycleGANTrainer:
     # init
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> CycleGANState:
-        cfg = self.cfg
-        hw = cfg.model.image_size
-        sample = jnp.zeros((1, hw, hw, cfg.model.in_channels), jnp.float32)
-        ka, kb, kda, kdb = jax.random.split(rng, 4)
-        g_params = {
-            "a2b": self.generator.init(ka, sample),
-            "b2a": self.generator.init(kb, sample),
-        }
-        d_params = {
-            "a": self.discriminator.init(kda, sample),
-            "b": self.discriminator.init(kdb, sample),
-        }
-        pool_dtype = jnp.dtype(cfg.model.compute_dtype)
-        img_shape = (hw, hw, cfg.model.out_channels)
-        # Global pool = per-shard pool on every device (sharded on axis 0).
-        global_pool = ImagePool(cfg.opt.pool_size * self.n_devices)
-        state = CycleGANState(
-            g_params=g_params,
-            d_params=d_params,
-            g_opt=self.g_tx.init(g_params),
-            d_opt=self.d_tx.init(d_params),
-            # copy (not alias) g_params: the state pytree is donated, and
-            # aliased buffers cannot be donated twice
-            ema=jax.tree_util.tree_map(jnp.copy, g_params),
-            pool_a=global_pool.init(img_shape, pool_dtype),
-            pool_b=global_pool.init(img_shape, pool_dtype),
-            rng=rng,
-            step=jnp.zeros((), jnp.int32),
-        )
-        return jax.device_put(state, self.state_shardings())
+        return jax.device_put(self._abstract_state(rng), self.state_shardings())
 
     def _specs_for(self, state_like) -> CycleGANState:
         """Broadcast the per-field specs over the actual pytree structure."""
@@ -179,7 +150,9 @@ class CycleGANTrainer:
             d_params=d_params,
             g_opt=self.g_tx.init(g_params),
             d_opt=self.d_tx.init(d_params),
-            ema=g_params,
+            # copy (not alias) g_params: the state pytree is donated, and
+            # aliased buffers cannot be donated twice
+            ema=jax.tree_util.tree_map(jnp.copy, g_params),
             pool_a=global_pool.init(img_shape, pool_dtype),
             pool_b=global_pool.init(img_shape, pool_dtype),
             rng=rng,

@@ -32,7 +32,7 @@ def build_trainer(cfg: Config, mesh):
     if cfg.loss.lambda_lpips > 0:
         from uig.eval.lpips import make_lpips
 
-        perceptual_fn = make_lpips(cfg)
+        perceptual_fn = make_lpips(cfg, weights_path=cfg.eval.vgg_weights or None)
     if kind == "cyclegan":
         from uig.train.cyclegan import CycleGANTrainer
 
@@ -119,7 +119,8 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
                 writer.write(step, host_m)
                 timer.reset()
             if (cfg.eval.fid_every and step % cfg.eval.fid_every == 0
-                    and hasattr(trainer, "translate")):
+                    and hasattr(trainer, "translate")
+                    and jax.process_count() == 1):
                 last_fid = _inline_fid(cfg, trainer, state)
                 writer.write(step, {"fid": last_fid})
             if cfg.run.ckpt_every and step % cfg.run.ckpt_every == 0:
@@ -150,7 +151,11 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
 
 def _inline_fid(cfg, trainer, state) -> float:
     """In-training FID (a2b) on up to eval.fid_num_samples images — feeds the
-    best-FID checkpoint retention (SURVEY.md §5)."""
+    best-FID checkpoint retention (SURVEY.md §5).
+
+    Multi-host note: translate() expects globally-addressable inputs; in
+    multi-process runs in-training FID is skipped (use `uig eval-fid` after
+    training, which handles the cross-host stat reduction)."""
     import jax.numpy as jnp
 
     from uig.data import eval_datasets
@@ -178,8 +183,11 @@ def _inline_fid(cfg, trainer, state) -> float:
 
 def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
                        n: int | None = None) -> None:
-    """Fixed-seed A→B and B→A translation grid PNG (SURVEY.md §5 metrics)."""
-    if jax.process_index() != 0:
+    """Fixed-seed A→B and B→A translation grid PNG (SURVEY.md §5 metrics).
+
+    Single-process only: translate() on globally-sharded EMA params needs
+    globally-addressable inputs, which a lone process cannot build."""
+    if jax.process_count() > 1:
         return
     try:
         from PIL import Image

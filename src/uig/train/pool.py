@@ -58,7 +58,10 @@ class ImagePool:
         fakes = jax.lax.stop_gradient(fakes.astype(buffer.dtype))
 
         k_idx, k_use = jax.random.split(key)
-        rand_idx = jax.random.randint(k_idx, (b,), 0, s)
+        # sample only from FILLED slots: when a batch straddles the warmup
+        # boundary, indices beyond `count` would read never-written zeros
+        # and feed black images to D
+        rand_idx = jax.random.randint(k_idx, (b,), 0, jnp.maximum(count, 1))
         use_pool = jax.random.bernoulli(k_use, 0.5, (b,))
 
         slot = count + jnp.arange(b, dtype=jnp.int32)  # warmup append slots

@@ -171,10 +171,15 @@ class VAEGANTrainer:
 
         (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
-        d_grads = jax.tree_util.tree_map(lambda g: g * disc_on, d_grads)
         d_grads = jax.lax.pmean(d_grads, axis)
-        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_updates, d_opt_new = self.d_tx.update(d_grads, state.d_opt,
+                                                state.d_params)
+        d_params_new = optax.apply_updates(state.d_params, d_updates)
+        # gate the whole D update during warmup (see vqgan_trainer._select_tree)
+        from uig.train.vqgan_trainer import _select_tree
+
+        d_params, d_opt = _select_tree(
+            disc_on, (d_params_new, d_opt_new), (state.d_params, state.d_opt))
 
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],

@@ -33,6 +33,12 @@ from uig.train.ema import ema_update
 from uig.train.state import lr_schedule, make_optimizer
 
 
+def _select_tree(pred_f32, on_true, on_false):
+    """Elementwise select over a pytree pair (pred is a traced 0/1 float)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred_f32 > 0, a, b), on_true, on_false)
+
+
 class VQGANState(struct.PyTreeNode):
     g_params: dict
     d_params: dict
@@ -189,11 +195,16 @@ class VQGANTrainer:
 
         (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
-        # gate D updates until vq_disc_start (select, not python branch)
-        d_grads = jax.tree_util.tree_map(lambda g: g * disc_on, d_grads)
         d_grads = jax.lax.pmean(d_grads, axis)
-        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_updates, d_opt_new = self.d_tx.update(d_grads, state.d_opt,
+                                                state.d_params)
+        d_params_new = optax.apply_updates(state.d_params, d_updates)
+        # gate the WHOLE D update (params AND optimizer state) until
+        # vq_disc_start — merely zeroing grads would still advance Adam's
+        # step count (spoiling bias correction at hand-off) and let adamw's
+        # decay shrink D during warmup
+        d_params, d_opt = _select_tree(
+            disc_on, (d_params_new, d_opt_new), (state.d_params, state.d_opt))
 
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],

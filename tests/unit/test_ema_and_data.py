@@ -42,6 +42,25 @@ def test_host_sharding_partitions_data():
     assert ia | ib == set(range(8)) and not (ia & ib)
 
 
+def test_pipeline_producer_death_raises_not_hangs():
+    """A corrupt record must surface as an exception at next(), not a hang."""
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise IOError("corrupt image")
+
+    p = UnpairedPipeline(Broken(), Broken(), batch_size_local=1, seed=0,
+                         num_workers=1, prefetch=2).start()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(p)
+    p.stop()
+
+
 def test_pipeline_resume_exact_with_prefetch():
     ds = SyntheticUnpairedDataset(n=12, load_size=16, seed=0)
 

@@ -38,6 +38,17 @@ def test_full_pool_mixes_and_swaps():
     assert np.asarray(st.buffer).max() > 1.0
 
 
+def test_warmup_boundary_never_serves_unwritten_slots():
+    """pool_size % batch != 0: straddling queries must never return the
+    zeros from unfilled slots (regression: rand_idx used the full range)."""
+    pool = ImagePool(5)  # batch 4 -> boundary at count=4
+    st = pool.init((2, 2, 1))
+    st, _ = pool.query(st, _fakes(1.0), jax.random.PRNGKey(0))  # count=4
+    for i in range(30):
+        st, out = pool.query(st, _fakes(2.0), jax.random.PRNGKey(100 + i))
+        assert np.asarray(out).min() >= 1.0, f"served an unwritten slot: {out}"
+
+
 def test_count_saturates():
     pool = ImagePool(4)
     st = pool.init((2, 2, 1))
