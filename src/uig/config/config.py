@@ -43,6 +43,11 @@ class ModelConfig:
     # FLOPs for HBM so 512²/large-batch configs fit (SURVEY.md §7 donation/
     # memory note)
     remat: bool = False
+    # space-to-depth factor for the 3-channel generator head conv (0 = off).
+    # The c7s1-3 head is 3/128 MXU-lane-efficient and ~25% of the 256² step;
+    # b=4 executes the same linear map with 48 output lanes (docs/DESIGN.md
+    # §5b). Exact same parameters; output differs only by fp reassociation.
+    head_s2d: int = 0
     # VQGAN (rung 5)
     vq_embed_dim: int = 256
     vq_codebook_size: int = 1024

@@ -32,6 +32,7 @@ class ResNetGenerator(nn.Module):
     norm: str = "instance"
     pad_mode: str = "reflect"
     upsample: str = "conv_transpose"
+    head_s2d: int = 0  # space-to-depth factor for the c7s1-3 head (0 = off)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -65,7 +66,8 @@ class ResNetGenerator(nn.Module):
             ]
         # head: c7s1-3 + tanh
         layers += [
-            PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode, dtype=dt),
+            PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
+                    dtype=dt, s2d_block=self.head_s2d),
             "tanh",
         ]
         self.layers = layers

@@ -79,7 +79,7 @@ class CUTTrainer:
         self.generator = ResNetGenerator(
             out_channels=m.out_channels, base_features=m.g_base_features,
             n_res_blocks=m.n_res_blocks, norm=m.norm, pad_mode=m.padding,
-            upsample=m.upsample, dtype=dt,
+            upsample=m.upsample, head_s2d=m.head_s2d, dtype=dt,
         )
         self.eval_generator = self.generator.copy(dtype=jnp.dtype(m.eval_dtype))
         self.discriminator = PatchDiscriminator(

@@ -60,6 +60,7 @@ class CycleGANTrainer:
             norm=m.norm,
             pad_mode=m.padding,
             upsample=m.upsample,
+            head_s2d=m.head_s2d,
             dtype=dt,
         )
         self.discriminator = PatchDiscriminator(
@@ -73,6 +74,7 @@ class CycleGANTrainer:
             norm=m.norm,
             pad_mode=m.padding,
             upsample=m.upsample,
+            head_s2d=m.head_s2d,
             dtype=jnp.dtype(m.eval_dtype),
         )
         self.g_tx = make_optimizer(cfg.opt)

@@ -57,8 +57,8 @@ def test_padconv_matches_torch_conv():
     y = mod.apply(params, jnp.asarray(x))
 
     # same weights in torch: flax kernel (kh, kw, cin, cout) -> torch (cout, cin, kh, kw)
-    k = np.asarray(params["params"]["Conv_0"]["kernel"])
-    b = np.asarray(params["params"]["Conv_0"]["bias"])
+    k = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
     wt = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)))
     yt = F.conv2d(
         torch.from_numpy(_nhwc_to_nchw(x)), wt, torch.from_numpy(b),
@@ -67,6 +67,28 @@ def test_padconv_matches_torch_conv():
     np.testing.assert_allclose(
         np.asarray(y), np.transpose(yt.numpy(), (0, 2, 3, 1)), atol=2e-5
     )
+
+
+def test_s2d_conv_matches_plain_conv():
+    """Space-to-depth execution is the SAME linear map: identical params,
+    outputs equal up to fp reassociation (docs/DESIGN.md §5b)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    plain = PadConv(features=3, kernel=7, pad=3, pad_mode="reflect")
+    s2d = PadConv(features=3, kernel=7, pad=3, pad_mode="reflect", s2d_block=4)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    y0 = plain.apply(params, x)
+    y1 = s2d.apply(params, x)  # same param tree by construction
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-6)
+
+
+def test_s2d_requires_divisible_output():
+    x = jnp.zeros((1, 15, 15, 4))
+    mod = PadConv(features=3, kernel=7, pad=3, s2d_block=4)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        mod.init(jax.random.PRNGKey(0), x)
 
 
 def test_resnet_block_identity_at_zero_weights():
