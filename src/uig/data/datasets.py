@@ -63,7 +63,11 @@ class FolderDataset:
         with Image.open(self.files[idx]) as im:
             im = im.convert("RGB")
             s = self.load_size
-            im = im.resize((s, s), Image.BICUBIC)
+            # BILINEAR to match the native C++ loader's resampler exactly —
+            # decoder='auto' must produce identical pixels on machines with
+            # and without the native toolchain (parity asserted in
+            # tests/unit/test_native_loader.py).
+            im = im.resize((s, s), Image.BILINEAR)
             return np.asarray(im, dtype=np.uint8)
 
     def get_batch(self, idxs: list[int], n_threads: int = 8) -> np.ndarray:
@@ -192,7 +196,9 @@ class TFRecordImageDataset:
         with Image.open(io.BytesIO(img_bytes)) as im:
             im = im.convert("RGB")
             s = self.load_size
-            im = im.resize((s, s), Image.BICUBIC)
+            # BILINEAR: same resampler as FolderDataset/native loader so a
+            # dataset packed from any source format trains identically.
+            im = im.resize((s, s), Image.BILINEAR)
             return np.asarray(im, dtype=np.uint8)
 
 

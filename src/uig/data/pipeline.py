@@ -38,6 +38,12 @@ class _DomainStream:
         self.host_count = host_count
         # per-host epoch length (hosts stride the global permutation)
         self.epoch_len = len(range(host_index, n, host_count))
+        if self.epoch_len == 0:
+            raise ValueError(
+                f"domain has {n} image(s), which leaves host {host_index} of "
+                f"{host_count} with an empty per-host shard; every domain "
+                f"needs at least one image per host (>= {host_count} total)"
+            )
         self._perm_cache: dict[int, np.ndarray] = {}
 
     def _perm(self, epoch: int) -> np.ndarray:

@@ -40,17 +40,46 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
 def maybe_init_multihost(enabled: bool) -> None:
     """Initialize the JAX distributed runtime (DCN coordination) if requested.
 
-    No-op when already initialized or when running single-process.
+    Ordering matters: ``jax.distributed.initialize()`` must run BEFORE the
+    XLA backend is touched (any ``jax.devices()`` / ``jax.process_count()``
+    call initializes it, after which distributed init is impossible and a
+    multi-host launch would silently degrade into N independent single-host
+    trainings). We therefore check distributed state directly — never via
+    ``jax.process_count()`` — and fail loudly on a mis-ordered call.
     """
     if not enabled:
         return
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    if jax.distributed.is_initialized():
+        return  # launcher (or a previous fit()) already initialized
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        raise RuntimeError(
+            "parallel.multihost=True, but the XLA backend was already "
+            "initialized before jax.distributed.initialize() could run "
+            "(some code touched jax.devices()/process_count() first). "
+            "Call maybe_init_multihost() before any other JAX use, or "
+            "initialize jax.distributed in your launcher."
+        )
     try:
         jax.distributed.initialize()
-    except Exception:
-        # Single-process run without coordinator env vars — fine.
-        pass
+    except ValueError as e:
+        # No coordinator address and no auto-detectable cluster environment:
+        # this is a plain single-process run of a multihost-enabled preset.
+        # That is fine for development — but say so, loudly, instead of
+        # letting a misconfigured pod launch degrade silently.
+        if "coordinator_address" not in str(e):
+            raise
+        import warnings
+
+        warnings.warn(
+            "parallel.multihost=True but no distributed coordinator was "
+            "found (no JAX_COORDINATOR_ADDRESS / cluster env); continuing "
+            "single-process. If this is a pod launch, the launcher is "
+            "misconfigured.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

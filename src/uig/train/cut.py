@@ -88,6 +88,18 @@ class CUTTrainer:
         )
         n_layers = self.generator.num_layers
         self.taps = tuple(i for i in m.nce_layers if i < n_layers)
+        if not self.taps:
+            raise ValueError(
+                f"model.nce_layers={m.nce_layers} are all out of range for "
+                f"this generator (valid feature-tap indices: 0..{n_layers - 1})"
+            )
+        if len(self.taps) != len(m.nce_layers):
+            dropped = tuple(i for i in m.nce_layers if i >= n_layers)
+            raise ValueError(
+                f"model.nce_layers contains out-of-range taps {dropped}; "
+                f"valid feature-tap indices for this generator: "
+                f"0..{n_layers - 1}"
+            )
         self.n_patches = m.nce_patches
         self.head = ProjectionHead(m.nce_proj_dim, dtype=dt)
         self.g_tx = make_optimizer(cfg.opt)

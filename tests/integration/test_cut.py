@@ -68,3 +68,15 @@ def test_cut_via_loop(tmp_path):
     )
     metrics = fit(cfg, max_steps=3)
     assert np.isfinite(metrics["g_loss"])
+
+
+def test_cut_rejects_out_of_range_nce_layers():
+    cfg = _cfg()
+    bad = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, nce_layers=(0, 4, 99)))
+    with pytest.raises(ValueError, match="out-of-range taps"):
+        CUTTrainer(bad, make_mesh(1))
+    all_bad = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, nce_layers=(90, 99)))
+    with pytest.raises(ValueError, match="out of range"):
+        CUTTrainer(all_bad, make_mesh(1))

@@ -52,3 +52,46 @@ def test_two_process_dp(tmp_path):
     assert views[0]["checksum"] == views[1]["checksum"]
     for k in views[0]["metrics"]:
         assert views[0]["metrics"][k] == views[1]["metrics"][k], k
+
+
+def test_maybe_init_multihost_fails_loudly_not_silently(tmp_path):
+    """ADVICE.md (high): multihost init must never be silently skipped.
+
+    Three subprocess probes of uig.runtime.mesh.maybe_init_multihost:
+      1. single-process, no coordinator env -> RuntimeWarning, continues
+      2. backend already initialized (process_count() called first) ->
+         RuntimeError, not a silent no-op
+      3. enabled=False -> plain no-op
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    src = os.path.join(os.path.dirname(__file__), "..", "..", "src")
+    env["PYTHONPATH"] = src + os.pathsep + env.get("PYTHONPATH", "")
+
+    def probe(body):
+        code = ("import warnings, jax\n"
+                "from uig.runtime.mesh import maybe_init_multihost\n" + body)
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, env=env)
+
+    r = probe(
+        "with warnings.catch_warnings(record=True) as w:\n"
+        "    warnings.simplefilter('always')\n"
+        "    maybe_init_multihost(True)\n"
+        "assert any('no distributed coordinator' in str(x.message) for x in w)\n"
+        "print('WARNED-OK')\n")
+    assert r.returncode == 0 and "WARNED-OK" in r.stdout, r.stdout + r.stderr
+
+    r = probe(
+        "jax.process_count()\n"
+        "try:\n"
+        "    maybe_init_multihost(True)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'already' in str(e)\n"
+        "    print('RAISED-OK')\n")
+    assert r.returncode == 0 and "RAISED-OK" in r.stdout, r.stdout + r.stderr
+
+    r = probe("maybe_init_multihost(False)\nprint('NOOP-OK')\n")
+    assert r.returncode == 0 and "NOOP-OK" in r.stdout, r.stdout + r.stderr

@@ -82,3 +82,14 @@ def test_pipeline_resume_exact_with_prefetch():
     for (a1, b1), (a2, b2) in zip(cont, resumed):
         np.testing.assert_array_equal(a1, a2)
         np.testing.assert_array_equal(b1, b2)
+
+
+def test_domain_stream_rejects_empty_host_shard():
+    # a domain with fewer images than hosts must fail at construction with a
+    # clear error, not ZeroDivisionError deep in the producer thread
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one image per host"):
+        _DomainStream(n=1, seed=0, host_index=1, host_count=2)
+    with pytest.raises(ValueError, match="at least one image per host"):
+        _DomainStream(n=0, seed=0, host_index=0, host_count=1)
