@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=8)
     tr.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default latest)")
+    tr.add_argument("--source", default="auto",
+                    choices=["auto", "folders", "packed", "tfrecord"],
+                    help="input format (auto-detected by default)")
     _add_common(tr)
 
     ev = sub.add_parser("eval-fid", help="FID of translated eval images")
@@ -90,7 +93,8 @@ def main(argv=None) -> int:
 
         n = run_translate(args.run_dir, args.input_dir, args.output_dir,
                           direction=args.direction, batch_size=args.batch_size,
-                          step=args.step, overrides=args.overrides)
+                          step=args.step, overrides=args.overrides,
+                          source=args.source)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
         return 0
     if args.cmd == "pack":

@@ -39,14 +39,19 @@ def load_run(run_dir: str, step: int | None = None, overrides=()):
 
 def run_translate(run_dir: str, input_dir: str, output_dir: str,
                   direction: str = "a2b", batch_size: int = 8,
-                  step: int | None = None, overrides=()) -> int:
+                  step: int | None = None, overrides=(),
+                  source: str = "auto") -> int:
+    """``input_dir`` may be an image folder, a packed ``.npy``, or a
+    tfrecord file/dir — every trainable source is servable (resolved by
+    uig.data.datasets.resolve_dataset)."""
     from PIL import Image
 
-    from uig.data.datasets import FolderDataset
+    from uig.data.datasets import item_names, resolve_dataset
     from uig.kernels import center_crop_normalize, denormalize_to_u8
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
-    ds = FolderDataset(input_dir, cfg.data.load_size)
+    ds = resolve_dataset(input_dir, cfg.data.load_size, source)
+    names = item_names(ds)
     os.makedirs(output_dir, exist_ok=True)
 
     n = len(ds)
@@ -64,7 +69,7 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         y = trainer.translate(state.ema, x, direction)
         out = np.asarray(denormalize_to_u8(y))[: len(idxs)]
         for i, img in zip(idxs, out):
-            name = os.path.splitext(os.path.basename(ds.files[i]))[0]
-            Image.fromarray(img).save(os.path.join(output_dir, f"{name}.png"))
+            Image.fromarray(img).save(
+                os.path.join(output_dir, f"{names[i]}.png"))
             done += 1
     return done

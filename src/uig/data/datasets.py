@@ -281,3 +281,41 @@ class SyntheticUnpairedDataset:
                 Image.fromarray(dom[i]).save(os.path.join(d, f"{i:05d}.png"))
             dirs.append(d)
         return dirs[0], dirs[1]
+
+
+def resolve_dataset(path: str, load_size: int, source: str = "auto"):
+    """Open an index-addressable dataset of any supported on-disk format.
+
+    ``source``: folders | packed | tfrecord | auto. "auto" detects by path
+    shape: a ``.npy`` file → packed; a ``.tfrecord(s)`` file or a directory
+    containing them → tfrecord; any other directory → image folder. Used by
+    the translate/eval CLIs so every trainable source is also servable
+    (inference parity with the training pipeline's source resolution).
+    """
+    if source == "auto":
+        if path.endswith(".npy"):
+            source = "packed"
+        elif path.endswith((".tfrecord", ".tfrecords")):
+            source = "tfrecord"
+        elif os.path.isdir(path) and any(
+                f.endswith((".tfrecord", ".tfrecords"))
+                for f in os.listdir(path)):
+            source = "tfrecord"
+        else:
+            source = "folders"
+    if source == "folders":
+        return FolderDataset(path, load_size)
+    if source == "packed":
+        return PackedDataset(path, load_size)
+    if source == "tfrecord":
+        return TFRecordImageDataset(path, load_size)
+    raise ValueError(f"unknown dataset source {source!r}")
+
+
+def item_names(ds) -> list:
+    """Stable output-file stems for a dataset (file basenames when the
+    source has files, zero-padded indices otherwise)."""
+    files = getattr(ds, "files", None)
+    if files:
+        return [os.path.splitext(os.path.basename(f))[0] for f in files]
+    return [f"{i:06d}" for i in range(len(ds))]
