@@ -68,6 +68,18 @@ def report(name, fn, x, *args, iters=ITERS):
 
 
 def main():
+    only = set(sys.argv[1:])  # component name prefixes to run (empty = all)
+
+    def want(name):
+        return not only or any(name.startswith(p) for p in only)
+
+    global report
+    _report = report
+
+    def report(name, *a, **kw):
+        if want(name):
+            return _report(name, *a, **kw)
+
     from flax import linen as nn
 
     from uig.models import PatchDiscriminator, ResNetGenerator

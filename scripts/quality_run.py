@@ -1,0 +1,68 @@
+"""Quality run v2 (VERDICT round-1 item 9): 64² CycleGAN on the synthetic
+blobs↔stripes pair, 5000 steps with in-training FID — A/B'ing the round-1
+failure mode fix (D overpowers G on small data: d_loss→0.04 and FID drifts
+up after step ~2000).
+
+Variants:
+  base        round-1 recipe reproduction
+  dreg        d_lr_ratio=0.5 + r1_gamma=0.05 (weakened/regularized D)
+  dreg_resize dreg + upsample=resize_conv (checkerboard ablation)
+
+Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run.py [variants]
+Outputs FID trajectory summaries; full metrics land in the run workdirs.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "src"))
+
+VARIANTS = {
+    "base": [],
+    "dreg": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05"],
+    "dreg_resize": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05",
+                    "model.upsample=resize_conv"],
+}
+
+COMMON = [
+    "model.image_size=64", "model.n_res_blocks=6",
+    "data.batch_size=8", "data.load_size=72", "data.source=synthetic",
+    "data.synthetic_len=200",
+    "opt.total_steps=5000", "opt.decay_start_step=2500",
+    "run.log_every=100", "run.ckpt_every=1000",
+    "eval.fid_every=250", "eval.fid_num_samples=200",
+    "eval.sample_grid_every=2500",
+]
+
+
+def run_variant(name: str, overrides):
+    from uig.cli.main import main
+
+    workdir = f"/tmp/uig_quality_r2/{name}"
+    args = ["train", "--preset", "smoke64"]
+    for o in COMMON + overrides + [f"run.workdir=/tmp/uig_quality_r2",
+                                   f"run.name={name}"]:
+        args += ["--set", o]
+    rc = main(args)
+    assert rc == 0
+    fids = []
+    with open(os.path.join(workdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "fid" in rec:
+                fids.append((rec["step"], rec["fid"]))
+    if not fids:
+        print(f"{name}: no FID records!")
+        return
+    best = min(fids, key=lambda t: t[1])
+    print(f"{name}: best FID {best[1]:.4f} @ step {best[0]}; "
+          f"final {fids[-1][1]:.4f} @ {fids[-1][0]}; "
+          f"trajectory {[(s, round(v, 3)) for s, v in fids]}", flush=True)
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        run_variant(n, VARIANTS[n])

@@ -69,7 +69,27 @@ def check_attention():
     # fp32 softmax over N=1024 in different reduction orders: ~1e-5 scale
     tol = 1e-4
     print(f"attention parity: max|diff|={err:.2e} {'OK' if err < tol else 'FAIL'}")
-    return err < tol
+    if err >= tol:
+        return False
+
+    # compiled flash backward (dq/dk/dv Pallas kernels) vs the XLA VJP —
+    # n=1024 > block_q=256 exercises the cross-q-block dk/dv accumulation
+    def loss_p(q, k, v):
+        return jnp.sum(jnp.square(attention_pallas(q, k, v)))
+
+    def loss_x(q, k, v):
+        return jnp.sum(jnp.square(attention_xla(q, k, v)))
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
+    ok = True
+    for a, b, name in zip(gp, gx, "qkv"):
+        a, b = np.asarray(a), np.asarray(b)
+        gerr = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+        print(f"attention d{name} parity: rel max|diff|={gerr:.2e} "
+              f"{'OK' if gerr < 1e-3 else 'FAIL'}")
+        ok &= bool(gerr < 1e-3)
+    return ok
 
 
 if __name__ == "__main__":

@@ -39,10 +39,22 @@ class ModelConfig:
     # fp32 for bit-exact eval — BASELINE.json north_star fidelity clause).
     compute_dtype: str = "bfloat16"
     eval_dtype: str = "float32"
-    # rematerialize generator forwards in the loss (jax.checkpoint): trades
-    # FLOPs for HBM so 512²/large-batch configs fit (SURVEY.md §7 donation/
-    # memory note)
-    remat: bool = False
+    # rematerialize generator activations (jax.checkpoint): trades FLOPs for
+    # HBM so 512²/large-batch configs fit (SURVEY.md §7 donation/memory note).
+    #   none   — store all activations
+    #   full   — checkpoint whole generator applies (one region per apply;
+    #            largest programs — this environment's remote compiler 500s
+    #            on it at 512², BASELINE.md)
+    #   blocks — checkpoint per residual block (many small regions: near-full
+    #            memory savings in the trunk, compiler-friendlier program)
+    # bools are accepted for backward compat (True→full, False→none).
+    remat: str = "none"
+    # conv/norm execution for the generator's movement-bound shapes:
+    # "pallas" = s2d coarse-domain Pallas kernels for the 7x7 stem/head and
+    # stride-2 downsample convs + one-residency instance norms (the honest
+    # round-2 breakdown: head ran at 0.018 of roofline under XLA); trunk
+    # resblocks always stay on XLA (measured already near the MXU ceiling).
+    conv_impl: str = "xla"  # xla | pallas
     # space-to-depth factor for the 3-channel generator head conv (0 = off).
     # The c7s1-3 head is 3/128 MXU-lane-efficient and ~25% of the 256² step;
     # b=4 executes the same linear map with 48 output lanes (docs/DESIGN.md
@@ -73,6 +85,14 @@ class LossConfig:
     nce_include_identity: bool = True  # CUT: NCE on idt pass (Y->Y)
     lambda_vq_adv: float = 1.0  # VQGAN generator adversarial weight
     vq_disc_start: int = 0  # step at which D loss turns on (VQGAN warmup)
+    # canonical VQGAN adaptive adversarial weight: scale lambda_vq_adv by
+    # ||grad_last(L_rec)|| / ||grad_last(L_adv)|| (Esser et al. 2021), the
+    # known-fragile-but-standard stabilizer for 512² VQGAN training
+    vq_adaptive_weight: bool = False
+    # R1 gradient penalty on D at real inputs (γ/2·E‖∇ₓD(x)‖²); 0 disables.
+    # The D-regularization knob for small-data runs where D overpowers G
+    # (round-1 5000-step finding: d_loss→0.04 and FID drifts back up).
+    r1_gamma: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -89,6 +109,9 @@ class OptConfig:
     decay_start_step: int = 100_000
     ema_decay: float = 0.999
     pool_size: int = 50  # replay buffer (per data-parallel shard)
+    # D learning rate = lr * d_lr_ratio (TTUR-style knob; <1 weakens D on
+    # small datasets)
+    d_lr_ratio: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -256,3 +279,18 @@ def dump_config(cfg: Config, path: str) -> None:
 def load_config(path: str) -> Config:
     with open(path) as f:
         return config_from_dict(json.load(f))
+
+
+def remat_mode(value) -> str:
+    """Normalize ModelConfig.remat: bools and their string forms are legacy
+    for full/none; returns one of none | full | blocks."""
+    if isinstance(value, bool):
+        return "full" if value else "none"
+    v = str(value).lower()
+    if v in ("true", "1", "yes"):
+        return "full"
+    if v in ("false", "0", "no", ""):
+        return "none"
+    if v not in ("none", "full", "blocks"):
+        raise ValueError(f"model.remat must be none|full|blocks, got {value!r}")
+    return v

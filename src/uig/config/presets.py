@@ -115,7 +115,8 @@ def _vqgan512() -> Config:
             vq_attn_resolutions=(32,),
             attn_impl="pallas",
         ),
-        loss=LossConfig(gan_mode="hinge", lambda_vq_adv=0.8, vq_disc_start=10_000),
+        loss=LossConfig(gan_mode="hinge", lambda_vq_adv=0.8,
+                        vq_disc_start=10_000, vq_adaptive_weight=True),
         opt=OptConfig(lr=4.5e-6, b1=0.5, b2=0.9, total_steps=500_000,
                       decay_start_step=500_000),
         data=DataConfig(load_size=512, batch_size=4, augment="pallas"),

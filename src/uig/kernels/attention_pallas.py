@@ -12,11 +12,14 @@ input), single head, full channel width D. Two implementations:
     computes its full softmax row directly — no online-softmax passes
     needed. Softmax is numerically stabilized by the row max.
 
-Backward: attention_pallas carries a custom VJP that recomputes through
-attention_xla (flash-style rematerialization — the O(N²) score matrix is
-never stored between fwd and bwd).
+Backward: a fused Pallas kernel (one pass over q blocks per batch) that
+recomputes the softmax rows in VMEM and emits dq/dk/dv — the O(N²) matrix
+stays out of HBM in BOTH directions (round-1 VERDICT item 8 replaced the
+earlier XLA-VJP recompute, whose backward materialized (B, N, N) in HBM).
+dk/dv accumulate across q blocks in a VMEM-resident output block (constant
+index map per batch, zero-initialized at the first q block).
 
-Parity: tests/unit/test_attention.py (interpret mode) and
+Parity: tests/unit/test_attention.py (interpret mode, fwd + grads) and
 scripts/tpu_kernel_parity.py (compiled, real chip).
 """
 
@@ -86,11 +89,88 @@ def _fwd(q, k, v):
     return _attention_fwd_impl(q, k, v), (q, k, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """One q block: recompute its softmax rows, emit dq, accumulate dk/dv.
+
+    S = s·QKᵀ; P = softmax(S); O = PV
+    dV = Pᵀ·dO            dP = dO·Vᵀ
+    dS = P ∘ (dP − rowsum(P ∘ dP))
+    dQ = s·dS·K           dK = s·dSᵀ·Q
+    """
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)      # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)      # (N, D)
+    v = v_ref[0].astype(jnp.float32)      # (N, D)
+    do = do_ref[0].astype(jnp.float32)    # (BQ, D)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # (BQ, N)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BQ, N)
+    row = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - row)                                 # (BQ, N)
+
+    dq_ref[0] = (scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 ).astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (N, D)
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (N, D)
+
+
+def _attention_bwd_impl(q, k, v, do, block_q: int = 256):
+    b, n, d = q.shape
+    bq = min(block_q, n)
+    while n % bq:
+        bq //= 2
+    grid = (b, n // bq)  # j (q blocks) fastest: dk/dv accumulate per batch
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=1.0 / float(d) ** 0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _bwd(res, g):
     q, k, v = res
-    # rematerialized backward through the XLA reference (identical math)
-    _, vjp = jax.vjp(attention_xla, q, k, v)
-    return vjp(g)
+    return _attention_bwd_impl(q, k, v, g)
 
 
 attention_pallas.defvjp(_fwd, _bwd)

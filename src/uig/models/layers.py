@@ -35,10 +35,22 @@ class InstanceNorm(nn.Module):
 
     eps: float = 1e-5
     affine: bool = True
+    # "pallas": one-VMEM-residency kernel for full-resolution planes
+    # (XLA's lowering measured ~21x off bandwidth-bound at 256²x64 —
+    # BASELINE.md round 2); falls back to xla when the plane won't fit
+    # or affine params are absent.
+    impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.impl == "pallas" and self.affine and _in_plane_fits(x.shape):
+            from uig.kernels.norm_pallas import instance_norm_pallas
+
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            return instance_norm_pallas(x, scale, bias,
+                                        eps=self.eps).astype(self.dtype)
         x32 = x.astype(jnp.float32)
         # one-pass moments: E[x] and E[x²] reduce in a single sweep over the
         # (H, W) plane (XLA fuses both into one read of the activation);
@@ -55,9 +67,15 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-def _norm(kind: str, dtype) -> Callable[[], nn.Module]:
+def _in_plane_fits(shape, budget: int = 40 << 20) -> bool:
+    """Whole (H, W, C) plane (lane-padded, x2 for in+out blocks) in VMEM."""
+    _, h, w, c = shape
+    return h * w * (-(-c // 128) * 128) * 2 * 2 < budget
+
+
+def _norm(kind: str, dtype, impl: str = "xla") -> Callable[[], nn.Module]:
     if kind == "instance":
-        return lambda: InstanceNorm(dtype=dtype)
+        return lambda: InstanceNorm(dtype=dtype, impl=impl)
     if kind == "group":
         return lambda: nn.GroupNorm(num_groups=32, dtype=dtype)
     if kind == "none":
@@ -102,17 +120,48 @@ class PadConv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d_block: int = 0  # 0/1 = off; b>1 = space-to-depth factor
+    # "pallas": route the two movement-bound shapes (7x7 s1 p3 and
+    # 3x3 s2 p1) to uig.kernels.conv_pallas (s2d coarse-domain im2col
+    # matmul, fwd+bwd in Pallas). Anything else falls back to lax.conv.
+    impl: str = "xla"
+
+    def _pallas_route(self, x) -> str:
+        if self.impl != "pallas" or (self.s2d_block and self.s2d_block > 1):
+            return ""
+        from uig.kernels.conv_pallas import pallas_conv_viable
+
+        _, h, w, cin = x.shape
+        k, f = self.kernel, self.features
+        # 7x7 s1 p3 with lane-aligned coarse channels (4*cin % 128 == 0):
+        # the head (64->3). The stem's cin=3 measured FASTER on XLA once
+        # channel padding inflated its K 10x (BASELINE.md round 2), and the
+        # stride-2 downsample measured on-par-or-slower — both stay on XLA.
+        if (k == 7 and self.stride == 1 and self.pad == 3
+                and h % 4 == 0 and w % 4 == 0 and (4 * cin) % 128 == 0
+                and pallas_conv_viable(h, w, cin, f, 3, 4)):
+            return "conv7"
+        return ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = pad2d(x, self.pad, self.pad_mode)
         k, f = self.kernel, self.features
         cin = x.shape[-1]
-        # both execution paths share one parameterization (same checkpoints)
+        # all execution paths share one parameterization (same checkpoints)
         w = self.param("kernel", nn.initializers.normal(0.02),
                        (k, k, cin, f))
         bias = (self.param("bias", nn.initializers.zeros, (f,))
                 if self.use_bias else None)
+        route = self._pallas_route(x)
+        if route:
+            from uig.kernels.conv_pallas import conv3s2_s2d, conv7_s2d
+
+            xdt = x.astype(self.dtype)
+            wdt = w.astype(self.dtype)
+            bdt = None if bias is None else bias.astype(self.dtype)
+            if route == "conv7":
+                return conv7_s2d(xdt, wdt, bdt, pad_mode=self.pad_mode)
+            return conv3s2_s2d(xdt, wdt, bdt)
+        x = pad2d(x, self.pad, self.pad_mode)
         b = self.s2d_block
         if b and b > 1 and self.stride == 1:
             y = self._s2d_conv(x, w, b)

@@ -33,29 +33,44 @@ class ResNetGenerator(nn.Module):
     pad_mode: str = "reflect"
     upsample: str = "conv_transpose"
     head_s2d: int = 0  # space-to-depth factor for the c7s1-3 head (0 = off)
+    # per-block jax.checkpoint (model.remat="blocks"): each residual block
+    # stores only its input and recomputes internals in backward — near-full
+    # trunk memory savings with many small remat regions instead of one
+    # giant one (compiler-friendlier than remat="full" at 512²)
+    remat_blocks: bool = False
+    # "pallas" routes the 7x7 head conv to uig.kernels.conv_pallas
+    # (free-view coarse s2d kernel; 1.5x faster than XLA in ISOLATION).
+    # Default stays "xla": in the full fused graph XLA's cross-op fusion
+    # wins (G fwd measured 17.3 ms xla vs 21.6 ms pallas at 256^2 B=16 —
+    # BASELINE.md round 2). Kept as an experimentation knob and for
+    # shapes/backends where the fusion story differs.
+    conv_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         f = self.base_features
         dt = self.dtype
+        ci = self.conv_impl
+        block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         layers: list = []
         # stem: c7s1-64
         layers += [
-            PadConv(f, 7, pad=3, pad_mode=self.pad_mode, dtype=dt),
+            PadConv(f, 7, pad=3, pad_mode=self.pad_mode, dtype=dt, impl=ci),
             InstanceNorm(dtype=dt),
             "relu",
         ]
         # downsample: d128, d256
         for mult in (2, 4):
             layers += [
-                PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros", dtype=dt),
+                PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
+                        dtype=dt, impl=ci),
                 InstanceNorm(dtype=dt),
                 "relu",
             ]
         # residual trunk
         for _ in range(self.n_res_blocks):
             layers += [
-                ResnetBlock(f * 4, norm=self.norm, pad_mode=self.pad_mode, dtype=dt)
+                block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode, dtype=dt)
             ]
         # upsample: u128, u64
         for mult in (2, 1):
@@ -67,7 +82,7 @@ class ResNetGenerator(nn.Module):
         # head: c7s1-3 + tanh
         layers += [
             PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
-                    dtype=dt, s2d_block=self.head_s2d),
+                    dtype=dt, s2d_block=self.head_s2d, impl=ci),
             "tanh",
         ]
         self.layers = layers

@@ -32,6 +32,7 @@ class VAEGANGenerator(nn.Module):
     out_channels: int = 3
     attn_resolutions: tuple[int, ...] = (32,)
     attn_impl: str = "pallas"
+    remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -40,6 +41,7 @@ class VAEGANGenerator(nn.Module):
             channel_mults=self.channel_mults,
             attn_resolutions=self.attn_resolutions,
             attn_impl=self.attn_impl,
+            remat_blocks=self.remat_blocks,
             dtype=self.dtype,
         )
         # encoder emits 2*latent_dim channels: (mu, logvar)

@@ -79,26 +79,29 @@ class VQGANEncoder(nn.Module):
     embed_dim: int = 256
     attn_resolutions: tuple[int, ...] = (32,)
     attn_impl: str = "pallas"
+    remat_blocks: bool = False  # per-block jax.checkpoint (model.remat="blocks")
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
+        RB = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
+        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
         x = x.astype(dt)
         h = nn.Conv(self.base_features, (3, 3), dtype=dt,
                     param_dtype=jnp.float32)(x)
         for i, mult in enumerate(self.channel_mults):
             f = self.base_features * mult
-            h = VQResBlock(f, dt)(h)
-            h = VQResBlock(f, dt)(h)
+            h = RB(f, dt)(h)
+            h = RB(f, dt)(h)
             if h.shape[1] in self.attn_resolutions:
-                h = AttnBlock(self.attn_impl, dt)(h)
+                h = AB(self.attn_impl, dt)(h)
             if i < len(self.channel_mults) - 1:  # downsample between stages
                 h = nn.Conv(f, (3, 3), strides=(2, 2), dtype=dt,
                             param_dtype=jnp.float32)(h)
-        h = VQResBlock(h.shape[-1], dt)(h)
-        h = AttnBlock(self.attn_impl, dt)(h)
-        h = VQResBlock(h.shape[-1], dt)(h)
+        h = RB(h.shape[-1], dt)(h)
+        h = AB(self.attn_impl, dt)(h)
+        h = RB(h.shape[-1], dt)(h)
         h = GN(dt)(h)
         h = _swish(h)
         return nn.Conv(self.embed_dim, (1, 1), dtype=dt,
@@ -111,23 +114,26 @@ class VQGANDecoder(nn.Module):
     out_channels: int = 3
     attn_resolutions: tuple[int, ...] = (32,)
     attn_impl: str = "pallas"
+    remat_blocks: bool = False  # per-block jax.checkpoint (model.remat="blocks")
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         dt = self.dtype
+        RB = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
+        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
         z = z.astype(dt)
         f = self.base_features * self.channel_mults[-1]
         h = nn.Conv(f, (3, 3), dtype=dt, param_dtype=jnp.float32)(z)
-        h = VQResBlock(f, dt)(h)
-        h = AttnBlock(self.attn_impl, dt)(h)
-        h = VQResBlock(f, dt)(h)
+        h = RB(f, dt)(h)
+        h = AB(self.attn_impl, dt)(h)
+        h = RB(f, dt)(h)
         for i, mult in reversed(list(enumerate(self.channel_mults))):
             f = self.base_features * mult
-            h = VQResBlock(f, dt)(h)
-            h = VQResBlock(f, dt)(h)
+            h = RB(f, dt)(h)
+            h = RB(f, dt)(h)
             if h.shape[1] in self.attn_resolutions:
-                h = AttnBlock(self.attn_impl, dt)(h)
+                h = AB(self.attn_impl, dt)(h)
             if i > 0:  # upsample between stages
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
@@ -201,6 +207,7 @@ class VQGANGenerator(nn.Module):
     out_channels: int = 3
     attn_resolutions: tuple[int, ...] = (32,)
     attn_impl: str = "pallas"
+    remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -209,6 +216,7 @@ class VQGANGenerator(nn.Module):
             channel_mults=self.channel_mults,
             attn_resolutions=self.attn_resolutions,
             attn_impl=self.attn_impl,
+            remat_blocks=self.remat_blocks,
             dtype=self.dtype,
         )
         self.encoder = VQGANEncoder(embed_dim=self.embed_dim, **kw)

@@ -76,12 +76,18 @@ class CUTTrainer:
         self.axis = cfg.parallel.data_axis
         m = cfg.model
         dt = jnp.dtype(m.compute_dtype)
+        from uig.config.config import remat_mode
+
+        self._remat = remat_mode(m.remat)
         self.generator = ResNetGenerator(
             out_channels=m.out_channels, base_features=m.g_base_features,
             n_res_blocks=m.n_res_blocks, norm=m.norm, pad_mode=m.padding,
-            upsample=m.upsample, head_s2d=m.head_s2d, dtype=dt,
+            upsample=m.upsample, head_s2d=m.head_s2d,
+            remat_blocks=self._remat == "blocks", conv_impl=m.conv_impl,
+            dtype=dt,
         )
-        self.eval_generator = self.generator.copy(dtype=jnp.dtype(m.eval_dtype))
+        self.eval_generator = self.generator.copy(
+            dtype=jnp.dtype(m.eval_dtype), remat_blocks=False)
         self.discriminator = PatchDiscriminator(
             base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
             dtype=dt,
@@ -103,7 +109,7 @@ class CUTTrainer:
         self.n_patches = m.nce_patches
         self.head = ProjectionHead(m.nce_proj_dim, dtype=dt)
         self.g_tx = make_optimizer(cfg.opt)
-        self.d_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.pool = ImagePool(cfg.opt.pool_size)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
@@ -245,9 +251,13 @@ class CUTTrainer:
                                            keys["pool"])
 
         def d_loss_fn(d_params):
-            return L.gan_loss_d(
+            total = L.gan_loss_d(
                 D.apply(d_params, real_b), D.apply(d_params, d_fake_b),
-                loss_cfg.gan_mode), {}
+                loss_cfg.gan_mode)
+            if loss_cfg.r1_gamma > 0:
+                total = total + loss_cfg.r1_gamma * L.r1_penalty(
+                    D.apply, d_params, real_b)
+            return total, {}
 
         (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)

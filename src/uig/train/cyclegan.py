@@ -28,6 +28,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from uig.config import Config
+from uig.config.config import remat_mode
 from uig.kernels.augment import augment
 from uig.models import PatchDiscriminator, ResNetGenerator
 from uig.runtime.prng import fold_step, split_named
@@ -53,6 +54,7 @@ class CycleGANTrainer:
         self.axis = cfg.parallel.data_axis
         m = cfg.model
         dt = jnp.dtype(m.compute_dtype)
+        self._remat = remat_mode(m.remat)
         self.generator = ResNetGenerator(
             out_channels=m.out_channels,
             base_features=m.g_base_features,
@@ -61,6 +63,8 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample,
             head_s2d=m.head_s2d,
+            remat_blocks=self._remat == "blocks",
+            conv_impl=m.conv_impl,
             dtype=dt,
         )
         self.discriminator = PatchDiscriminator(
@@ -75,10 +79,11 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample,
             head_s2d=m.head_s2d,
+            conv_impl=m.conv_impl,
             dtype=jnp.dtype(m.eval_dtype),
         )
         self.g_tx = make_optimizer(cfg.opt)
-        self.d_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.pool = ImagePool(cfg.opt.pool_size)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
@@ -192,8 +197,9 @@ class CycleGANTrainer:
         lam = loss_cfg.lambda_cycle
         lam_id = loss_cfg.lambda_identity * lam
         # optional remat: recompute generator forwards in the backward pass
-        # (HBM for FLOPs — needed for 512²/large-batch HBM fits)
-        g_apply = jax.checkpoint(G.apply) if cfg.model.remat else G.apply
+        # (HBM for FLOPs — needed for 512²/large-batch HBM fits).
+        # "blocks" granularity lives inside the generator (remat_blocks).
+        g_apply = jax.checkpoint(G.apply) if self._remat == "full" else G.apply
 
         # ---------------- G update ----------------
         def g_loss_fn(g_params):
@@ -257,7 +263,14 @@ class CycleGANTrainer:
                 D.apply(d_params["b"], d_fake_b),
                 loss_cfg.gan_mode,
             )
-            return la + lb, {"d_a": la, "d_b": lb}
+            total = la + lb
+            r1 = jnp.float32(0.0)
+            if loss_cfg.r1_gamma > 0:
+                r1 = loss_cfg.r1_gamma * (
+                    L.r1_penalty(D.apply, d_params["a"], real_a)
+                    + L.r1_penalty(D.apply, d_params["b"], real_b))
+                total = total + r1
+            return total, {"d_a": la, "d_b": lb, "d_r1": r1}
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
@@ -275,6 +288,7 @@ class CycleGANTrainer:
             "g_lpips": aux["g_lpips"],
             "d_a": d_aux["d_a"],
             "d_b": d_aux["d_b"],
+            "d_r1": d_aux["d_r1"],
             "lr": self._lr(state.step),
         }
         metrics = jax.lax.pmean(
@@ -300,7 +314,7 @@ class CycleGANTrainer:
         batch_spec = P(self.axis)
         metric_names = (
             "g_loss", "d_loss", "g_adv", "g_cycle", "g_idt", "g_lpips",
-            "d_a", "d_b", "lr",
+            "d_a", "d_b", "d_r1", "lr",
         )
         out_metric_specs = {k: P() for k in metric_names}
 

@@ -119,8 +119,7 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
                 writer.write(step, host_m)
                 timer.reset()
             if (cfg.eval.fid_every and step % cfg.eval.fid_every == 0
-                    and hasattr(trainer, "translate")
-                    and jax.process_count() == 1):
+                    and hasattr(trainer, "translate")):
                 last_fid = _inline_fid(cfg, trainer, state)
                 writer.write(step, {"fid": last_fid})
             if cfg.run.ckpt_every and step % cfg.run.ckpt_every == 0:
@@ -149,13 +148,25 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     return {k: float(v) for k, v in metrics.items()} if metrics else {}
 
 
+def _local_ema(state):
+    """EMA params usable for host-local (non-collective) jit: the global
+    replicated arrays as-is in single-process runs, a host-local copy in
+    multi-process runs (replicated arrays are fully addressable per host, so
+    device_get is a local read — no collective)."""
+    if jax.process_count() == 1:
+        return state.ema
+    return jax.device_get(state.ema)
+
+
 def _inline_fid(cfg, trainer, state) -> float:
     """In-training FID (a2b) on up to eval.fid_num_samples images — feeds the
     best-FID checkpoint retention (SURVEY.md §5).
 
-    Multi-host note: translate() expects globally-addressable inputs; in
-    multi-process runs in-training FID is skipped (use `uig eval-fid` after
-    training, which handles the cross-host stat reduction)."""
+    Multi-host: each host translates + featurizes its strided index shard
+    with a host-local EMA copy; compute_fid sums the streaming mean/cov
+    stats across processes before the Fréchet solve, so every host returns
+    the same FID and best-FID retention works in multi-host runs (the
+    round-1 rung-4 gap)."""
     import jax.numpy as jnp
 
     from uig.data import eval_datasets
@@ -165,17 +176,20 @@ def _inline_fid(cfg, trainer, state) -> float:
     n = min(cfg.eval.fid_num_samples, len(ds_a), len(ds_b))
     bs = cfg.eval.fid_batch_size
     crop = cfg.model.image_size
+    hc, hi = jax.process_count(), jax.process_index()
+    mine = list(range(hi, n, hc)) or [hi % n]  # never an empty local stream
+    ema = _local_ema(state)
 
     def real_batches():
-        for s in range(0, n, bs):
-            raw = np.stack([ds_b[i] for i in range(s, min(s + bs, n))])
+        for s in range(0, len(mine), bs):
+            raw = np.stack([ds_b[i] for i in mine[s:s + bs]])
             yield center_crop_normalize(jnp.asarray(raw), crop)
 
     def fake_batches():
-        for s in range(0, n, bs):
-            raw = np.stack([ds_a[i] for i in range(s, min(s + bs, n))])
+        for s in range(0, len(mine), bs):
+            raw = np.stack([ds_a[i] for i in mine[s:s + bs]])
             yield trainer.translate(
-                state.ema, center_crop_normalize(jnp.asarray(raw), crop), "a2b")
+                ema, center_crop_normalize(jnp.asarray(raw), crop), "a2b")
 
     feature_fn, _ = make_feature_fn(cfg)
     return compute_fid(real_batches(), fake_batches(), feature_fn)
@@ -185,9 +199,9 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
                        n: int | None = None) -> None:
     """Fixed-seed A→B and B→A translation grid PNG (SURVEY.md §5 metrics).
 
-    Single-process only: translate() on globally-sharded EMA params needs
-    globally-addressable inputs, which a lone process cannot build."""
-    if jax.process_count() > 1:
+    Multi-host: host 0 renders the grid from its host-local EMA copy (the
+    translation is not collective); other hosts return immediately."""
+    if jax.process_index() != 0:
         return
     try:
         from PIL import Image
@@ -199,13 +213,14 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
     ds_a, ds_b = eval_datasets(cfg)
     import jax.numpy as jnp
 
+    ema = _local_ema(state)
     raw_a = jnp.asarray(np.stack([ds_a[i] for i in range(n)]))
     raw_b = jnp.asarray(np.stack([ds_b[i] for i in range(n)]))
     xa = center_crop_normalize(raw_a, cfg.model.image_size)
     xb = center_crop_normalize(raw_b, cfg.model.image_size)
-    pairs = [(xa, trainer.translate(state.ema, xa, "a2b"))]
+    pairs = [(xa, trainer.translate(ema, xa, "a2b"))]
     if "b2a" in getattr(trainer, "directions", ("a2b", "b2a")):
-        pairs.append((xb, trainer.translate(state.ema, xb, "b2a")))
+        pairs.append((xb, trainer.translate(ema, xb, "b2a")))
     rows = []
     for pair in pairs:
         src = np.asarray(denormalize_to_u8(pair[0]))

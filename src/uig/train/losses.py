@@ -84,3 +84,14 @@ def patch_nce_loss(feat_q: jax.Array, feat_k: jax.Array,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[None, :, None], axis=-1)
     return jnp.mean(nll)
+
+
+def r1_penalty(d_apply, d_params, real: "jax.Array") -> "jax.Array":
+    """R1 gradient penalty: 0.5·E_x‖∇ₓD(x)‖² on REAL inputs (Mescheder et
+    al. 2018) — the standard GAN regularizer that keeps D from overpowering
+    G on small datasets. Caller scales by loss.r1_gamma."""
+    def scalar_d(x):
+        return jnp.sum(_f32(d_apply(d_params, x)))
+
+    g = jax.grad(scalar_d)(_f32(real))
+    return 0.5 * jnp.mean(jnp.sum(jnp.square(_f32(g)), axis=(1, 2, 3)))

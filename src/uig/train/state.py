@@ -30,22 +30,24 @@ class CycleGANState(struct.PyTreeNode):
     step: jax.Array  # () int32
 
 
-def lr_schedule(opt: OptConfig):
+def lr_schedule(opt: OptConfig, lr_scale: float = 1.0):
     """Constant lr, then linear decay to 0 over the remaining steps
     (the canonical CycleGAN schedule: flat for the first half, linear to
-    zero over the second half)."""
+    zero over the second half). ``lr_scale`` implements opt.d_lr_ratio
+    (TTUR-style separate D learning rate)."""
     decay_steps = max(opt.total_steps - opt.decay_start_step, 1)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         frac = jnp.clip((step - opt.decay_start_step) / decay_steps, 0.0, 1.0)
-        return opt.lr * (1.0 - frac)
+        return opt.lr * lr_scale * (1.0 - frac)
 
     return schedule
 
 
-def make_optimizer(opt: OptConfig) -> optax.GradientTransformation:
-    sched = lr_schedule(opt)
+def make_optimizer(opt: OptConfig,
+                   lr_scale: float = 1.0) -> optax.GradientTransformation:
+    sched = lr_schedule(opt, lr_scale)
     chain = []
     if opt.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(opt.grad_clip))

@@ -54,13 +54,17 @@ class VAEGANTrainer:
             attn_resolutions=m.vq_attn_resolutions,
             attn_impl=m.attn_impl,
         )
-        self.generator = VAEGANGenerator(dtype=dt, **kw)
+        from uig.config.config import remat_mode
+
+        self._remat = remat_mode(m.remat)
+        kw_train = dict(kw, remat_blocks=self._remat == "blocks")
+        self.generator = VAEGANGenerator(dtype=dt, **kw_train)
         self.eval_generator = VAEGANGenerator(dtype=jnp.dtype(m.eval_dtype), **kw)
         self.discriminator = PatchDiscriminator(
             base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
             dtype=dt)
         self.g_tx = make_optimizer(cfg.opt)
-        self.d_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
         self.kl_weight = m.vq_beta  # reuse the commitment-weight knob for KL
@@ -137,7 +141,7 @@ class VAEGANTrainer:
 
         disc_on = (state.step >= loss_cfg.vq_disc_start).astype(jnp.float32)
         adv_w = loss_cfg.lambda_vq_adv * disc_on
-        g_apply = (jax.checkpoint(self.generator.apply) if cfg.model.remat
+        g_apply = (jax.checkpoint(self.generator.apply) if self._remat == "full"
                    else self.generator.apply)
 
         def g_loss_fn(g_params):

@@ -68,13 +68,29 @@ class VQGANTrainer:
             attn_resolutions=m.vq_attn_resolutions,
             attn_impl=m.attn_impl,
         )
-        self.generator = VQGANGenerator(dtype=dt, **kw)
+        from uig.config.config import remat_mode
+
+        self._remat = remat_mode(m.remat)
+        kw_train = dict(kw, remat_blocks=self._remat == "blocks")
+        self.generator = VQGANGenerator(dtype=dt, **kw_train)
         self.eval_generator = VQGANGenerator(dtype=jnp.dtype(m.eval_dtype), **kw)
         self.discriminator = PatchDiscriminator(
             base_features=m.d_base_features, n_layers=m.d_layers, norm=m.norm,
             dtype=dt)
+        # locate the decoder's FINAL conv kernel for the adaptive
+        # adversarial weight (grad-norm ratio is taken at this leaf)
+        abstract = jax.eval_shape(
+            lambda: self.generator.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, m.image_size, m.image_size, m.in_channels),
+                          jnp.float32)))
+        dec = abstract["params"]["decoder"]
+        last = max((k for k in dec if k.startswith("Conv_")),
+                   key=lambda k: int(k.split("_")[1]))
+        self._last_kernel_path = ("params", "decoder", last, "kernel")
+
         self.g_tx = make_optimizer(cfg.opt)
-        self.d_tx = make_optimizer(cfg.opt)
+        self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
 
@@ -134,6 +150,12 @@ class VQGANTrainer:
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
 
+    def _get_last_kernel(self, g_params):
+        node = g_params
+        for k in self._last_kernel_path:
+            node = node[k]
+        return node
+
     # ------------------------------------------------------------------
     def _device_step(self, state: VQGANState, real_a, real_b):
         cfg = self.cfg
@@ -160,20 +182,57 @@ class VQGANTrainer:
         disc_on = (state.step >= loss_cfg.vq_disc_start).astype(jnp.float32)
         adv_w = loss_cfg.lambda_vq_adv * disc_on
 
-        g_apply = (jax.checkpoint(self.generator.apply) if cfg.model.remat
+        g_apply = (jax.checkpoint(self.generator.apply) if self._remat == "full"
                    else self.generator.apply)
 
-        def g_loss_fn(g_params):
+        def _nll_and_adv(g_params):
             recon, vq = g_apply(g_params, x)
             rec = L.l1_loss(x, recon)
-            codebook = vq.codebook_loss + cfg.model.vq_beta * vq.commitment_loss
-            adv = L.gan_loss_g(self.discriminator.apply(state.d_params, recon),
-                               loss_cfg.gan_mode)
-            total = rec + codebook + adv_w * adv
             lpips = jnp.float32(0.0)
             if loss_cfg.lambda_lpips > 0 and self.perceptual_fn is not None:
                 lpips = loss_cfg.lambda_lpips * self.perceptual_fn(x, recon)
-                total = total + lpips
+            adv = L.gan_loss_g(self.discriminator.apply(state.d_params, recon),
+                               loss_cfg.gan_mode)
+            return recon, vq, rec, lpips, adv
+
+        lam_adapt = jnp.float32(1.0)
+        if loss_cfg.vq_adaptive_weight:
+            # canonical VQGAN (Esser et al. 2021): weight the adversarial
+            # term by ||grad_last(L_nll)|| / ||grad_last(L_adv)||, grads
+            # taken at the decoder's final conv kernel. Closing over the
+            # rest of the params keeps the backward confined to the last
+            # layer; XLA CSEs the repeated forward with the main loss pass.
+            path = self._last_kernel_path
+
+            def _with_last(p, k):
+                def sub(node, parts):
+                    node = dict(node)
+                    if len(parts) == 1:
+                        node[parts[0]] = k
+                    else:
+                        node[parts[0]] = sub(node[parts[0]], parts[1:])
+                    return node
+                return sub(p, list(path))
+
+            def _nll_of(k):
+                _, _, rec, lpips, _ = _nll_and_adv(_with_last(state.g_params, k))
+                return rec + lpips
+
+            def _adv_of(k):
+                return _nll_and_adv(_with_last(state.g_params, k))[4]
+
+            last_k = self._get_last_kernel(state.g_params)
+            g_nll = jax.grad(_nll_of)(last_k)
+            g_adv = jax.grad(_adv_of)(last_k)
+            lam_adapt = jnp.linalg.norm(g_nll.astype(jnp.float32).ravel()) / (
+                jnp.linalg.norm(g_adv.astype(jnp.float32).ravel()) + 1e-4)
+            lam_adapt = jax.lax.stop_gradient(
+                jnp.clip(lam_adapt, 0.0, 1e4))
+
+        def g_loss_fn(g_params):
+            recon, vq, rec, lpips, adv = _nll_and_adv(g_params)
+            codebook = vq.codebook_loss + cfg.model.vq_beta * vq.commitment_loss
+            total = rec + codebook + adv_w * lam_adapt * adv + lpips
             return total, {"recon": recon, "rec": rec, "codebook": codebook,
                            "g_adv": adv, "perplexity": vq.perplexity,
                            "lpips": lpips}
@@ -210,6 +269,7 @@ class VQGANTrainer:
             "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],
             "codebook": aux["codebook"], "g_adv": aux["g_adv"],
             "perplexity": aux["perplexity"], "lpips": aux["lpips"],
+            "lambda_adapt": lam_adapt,
             "lr": self._lr(state.step),
         }
         metrics = jax.lax.pmean(
@@ -225,7 +285,7 @@ class VQGANTrainer:
         specs = self._specs_for(abstract)
         batch_spec = P(self.axis)
         names = ("g_loss", "d_loss", "rec", "codebook", "g_adv",
-                 "perplexity", "lpips", "lr")
+                 "perplexity", "lpips", "lambda_adapt", "lr")
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
             in_specs=(specs, batch_spec, batch_spec),

@@ -63,8 +63,19 @@ leaves = jax.tree_util.tree_leaves(jax.device_get(
         lambda x: x.addressable_data(0), state.g_params)))
 checksum = float(sum(np.float64(np.asarray(l)).sum() for l in leaves))
 
+# in-training FID under process_count()>1 (round-1 rung-4 gap): each host
+# streams its shard with a host-local EMA copy; the stats allgather inside
+# compute_fid must make the value identical on every host.
+import dataclasses as _dc
+
+from uig.train.loop import _inline_fid
+
+fid_cfg = _dc.replace(cfg, eval=_dc.replace(cfg.eval, fid_num_samples=8,
+                                            fid_batch_size=4))
+fid = float(_inline_fid(fid_cfg, trainer, state))
+
 with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
-    json.dump({"metrics": host_metrics, "checksum": checksum,
+    json.dump({"metrics": host_metrics, "checksum": checksum, "fid": fid,
                "devices": jax.device_count(),
                "local_devices": jax.local_device_count()}, f)
 print("WORKER_DONE", proc_id)

@@ -52,6 +52,10 @@ def test_two_process_dp(tmp_path):
     assert views[0]["checksum"] == views[1]["checksum"]
     for k in views[0]["metrics"]:
         assert views[0]["metrics"][k] == views[1]["metrics"][k], k
+    # multi-host in-training FID: finite and identical on both hosts (the
+    # per-host shard stats were reduced across processes)
+    assert np.isfinite(views[0]["fid"]) and views[0]["fid"] >= 0
+    assert views[0]["fid"] == views[1]["fid"]
 
 
 def test_maybe_init_multihost_fails_loudly_not_silently(tmp_path):

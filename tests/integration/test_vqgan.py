@@ -88,3 +88,38 @@ def test_disc_gating():
     d1 = jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_params))
     for x, y in zip(jax.tree_util.tree_leaves(d0), jax.tree_util.tree_leaves(d1)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_vqgan_adaptive_adversarial_weight():
+    """loss.vq_adaptive_weight=True: lambda_adapt follows the grad-norm
+    ratio (finite, positive, not pinned at the off-value 1.0 once D is on)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(batch=2, disc_start=0)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, vq_adaptive_weight=True))
+    mesh = make_mesh(2)
+    tr = VQGANTrainer(cfg, mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, (
+        rng.integers(0, 255, (2, 36, 36, 3), dtype=np.uint8),
+        rng.integers(0, 255, (2, 36, 36, 3), dtype=np.uint8)))
+    lams = []
+    for _ in range(4):
+        state, m = tr.train_step(state, batch)
+        lam = float(m["lambda_adapt"])
+        assert np.isfinite(lam) and lam >= 0
+        lams.append(lam)
+    assert any(abs(l - 1.0) > 1e-6 for l in lams), lams
+
+    # off -> metric stays exactly 1.0 (the vqgan512 preset enables it, so
+    # disable explicitly)
+    cfg_off = _cfg(batch=2, disc_start=0)
+    cfg_off = dataclasses.replace(
+        cfg_off, loss=dataclasses.replace(cfg_off.loss,
+                                          vq_adaptive_weight=False))
+    tr0 = VQGANTrainer(cfg_off, mesh)
+    s0 = tr0.init_state(jax.random.PRNGKey(0))
+    s0, m0 = tr0.train_step(s0, batch)
+    assert float(m0["lambda_adapt"]) == 1.0

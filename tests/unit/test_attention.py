@@ -51,3 +51,39 @@ def test_bf16_inputs():
     ref = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=0.05)
+
+
+def test_gradients_match_with_multiple_q_blocks():
+    """n=512 > block_q=256 -> the bwd kernel's dk/dv accumulation across q
+    blocks (zero-init at j==0, += after) is actually exercised."""
+    q, k, v = _qkv(b=2, n=512, d=32, seed=2)
+
+    def loss_p(q, k, v):
+        return jnp.sum(jnp.square(attention_pallas(q, k, v)))
+
+    def loss_x(q, k, v):
+        return jnp.sum(jnp.square(attention_xla(q, k, v)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_gradients_bf16():
+    q, k, v = (x.astype(jnp.bfloat16) for x in _qkv(n=128, d=32, seed=3))
+
+    def loss_p(q, k, v):
+        return jnp.sum(jnp.square(attention_pallas(q, k, v).astype(jnp.float32)))
+
+    def loss_x(q, k, v):
+        return jnp.sum(jnp.square(attention_xla(q, k, v).astype(jnp.float32)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.15, rtol=0.05)

@@ -58,3 +58,33 @@ def test_patch_nce_perfect_alignment_low_loss():
     loss_random = patch_nce_loss(q, k2, temperature=0.01)
     assert loss_aligned < 0.01
     assert loss_random > loss_aligned
+
+
+def test_r1_penalty_linear_discriminator():
+    """For D(x) = <w, x> per-example, grad_x D = w, so R1 = 0.5*||w||^2
+    regardless of the inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from uig.train.losses import r1_penalty
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((4, 4, 3)), jnp.float32)
+
+    def d_apply(params, x):
+        return jnp.sum(x * params, axis=(1, 2, 3))
+
+    x = jnp.asarray(rng.standard_normal((5, 4, 4, 3)), jnp.float32)
+    got = float(r1_penalty(d_apply, w, x))
+    want = 0.5 * float(jnp.sum(jnp.square(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_d_lr_ratio_scales_schedule():
+    from uig.config import get_preset
+    from uig.train.state import lr_schedule
+
+    opt = get_preset("smoke64").opt
+    base = lr_schedule(opt)(0)
+    half = lr_schedule(opt, 0.5)(0)
+    np.testing.assert_allclose(float(half), float(base) * 0.5, rtol=1e-6)

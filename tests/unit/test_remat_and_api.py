@@ -24,7 +24,10 @@ def test_remat_step_matches_no_remat():
     a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
     b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
     outs = {}
-    for remat in (False, True):
+    # False/True exercise the legacy bool surface (→ none/full); "blocks"
+    # is the per-residual-block jax.checkpoint scope (compiler-friendlier
+    # remat for 512² — VERDICT round-1 item 5)
+    for remat in (False, True, "blocks"):
         mesh = make_mesh(1)
         tr = CycleGANTrainer(cfg(remat), mesh)
         state = tr.init_state(jax.random.PRNGKey(0))
@@ -33,12 +36,13 @@ def test_remat_step_matches_no_remat():
             {k: float(v) for k, v in m.items()},
             jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
         )
-    for k in outs[False][0]:
-        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
-                                   rtol=1e-5, err_msg=k)
-    for x, y in zip(jax.tree_util.tree_leaves(outs[False][1]),
-                    jax.tree_util.tree_leaves(outs[True][1])):
-        np.testing.assert_allclose(x, y, atol=1e-6)
+    for variant in (True, "blocks"):
+        for k in outs[False][0]:
+            np.testing.assert_allclose(outs[False][0][k], outs[variant][0][k],
+                                       rtol=1e-5, err_msg=f"{variant}:{k}")
+        for x, y in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                        jax.tree_util.tree_leaves(outs[variant][1])):
+            np.testing.assert_allclose(x, y, atol=1e-6)
 
 
 def test_swap_ema_roundtrip():
