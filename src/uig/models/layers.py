@@ -84,7 +84,17 @@ def _norm(kind: str, dtype, impl: str = "xla") -> Callable[[], nn.Module]:
 
 
 def pad2d(x: jax.Array, p: int, mode: str) -> jax.Array:
-    """Spatial padding for NHWC. mode: reflect | zeros."""
+    """Spatial padding for NHWC. mode: reflect | zeros.
+
+    TPU perf note (BASELINE.md round 2): reflect padding costs ~20% of the
+    whole 256² train step IN-GRAPH — not because of the pad op itself
+    (selector-matmul and concat lowerings measured equivalent in-graph) but
+    because any EXPLICIT pad materializes the activation and breaks XLA's
+    pad-into-conv fusion, which zero padding rides for free.
+    ``model.padding=zeros`` is therefore the documented throughput knob
+    (+24% step rate, 0.50 vs 0.41 roofline) when canonical CycleGAN
+    boundary handling is not required.
+    """
     if p == 0:
         return x
     widths = ((0, 0), (p, p), (p, p), (0, 0))

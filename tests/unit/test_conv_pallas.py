@@ -220,3 +220,4 @@ def test_instance_norm_wide_channels_unpacked_path():
     np.testing.assert_allclose(
         np.asarray(instance_norm_pallas(x, g, b)),
         np.asarray(_in_ref(x, g, b)), atol=1e-5)
+
