@@ -9,12 +9,14 @@ import numpy as np
 
 def run_eval_fid(run_dir: str, direction: str = "a2b",
                  num_samples: int | None = None, step: int | None = None,
-                 batch_size: int = 16, overrides=()) -> float:
+                 batch_size: int = 16, overrides=(), kid: bool = False):
+    """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
+    small-sample metric (polynomial-kernel MMD over the same features)."""
     import jax.numpy as jnp
 
     from uig.cli.translate import load_run
     from uig.data import eval_datasets
-    from uig.eval.fid import compute_fid, make_feature_fn
+    from uig.eval.fid import compute_fid, compute_kid, make_feature_fn
     from uig.kernels import center_crop_normalize
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
@@ -37,6 +39,11 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
             yield trainer.translate(state.ema, x, direction)
 
     feature_fn, name = make_feature_fn(cfg)
+    if kid:
+        mean, std = compute_kid(real_batches(), fake_batches(), feature_fn)
+        print(f"KID[{name}] over {n} samples ({direction}): "
+              f"{mean:.6f} ± {std:.6f}")
+        return mean, std
     fid = compute_fid(real_batches(), fake_batches(), feature_fn)
     print(f"FID[{name}] over {n} samples ({direction}): {fid:.4f}")
     return fid

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
     ev.add_argument("--num-samples", type=int, default=None)
     ev.add_argument("--step", type=int, default=None)
+    ev.add_argument("--kid", action="store_true",
+                    help="report KID (unbiased small-sample metric) instead")
     _add_common(ev)
 
     pk = sub.add_parser(
@@ -114,10 +116,13 @@ def main(argv=None) -> int:
     if args.cmd == "eval-fid":
         from uig.cli.eval_fid import run_eval_fid
 
-        fid = run_eval_fid(args.run_dir, direction=args.direction,
+        res = run_eval_fid(args.run_dir, direction=args.direction,
                            num_samples=args.num_samples, step=args.step,
-                           overrides=args.overrides)
-        print(json.dumps({"fid": fid}))
+                           overrides=args.overrides, kid=args.kid)
+        if args.kid:
+            print(json.dumps({"kid": res[0], "kid_std": res[1]}))
+        else:
+            print(json.dumps({"fid": res}))
         return 0
     return 1
 

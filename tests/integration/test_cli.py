@@ -65,6 +65,12 @@ def test_train_translate_evalfid_cli(tmp_path, png_dirs, capsys):
     fid = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["fid"]
     assert np.isfinite(fid) and fid >= 0
 
+    rc = main(["eval-fid", "--run-dir", run_dir, "--num-samples", "8",
+               "--kid"])
+    assert rc == 0
+    kid = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(kid["kid"]) and np.isfinite(kid["kid_std"])
+
 
 def test_translate_deterministic(tmp_path, png_dirs, capsys):
     """Same ckpt + same inputs -> byte-identical outputs (eval-mode fidelity,

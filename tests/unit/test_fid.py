@@ -77,3 +77,43 @@ def test_lpips_basic():
     y = jnp.ones((1, 32, 32, 3)) * 0.5
     assert float(lp(x, x)) < 1e-10
     assert float(lp(x, y)) > 0
+
+
+def test_kid_properties():
+    """KID: ~0 for same-distribution samples, positive and larger for
+    different distributions, unbiased estimator sanity."""
+    from uig.eval.fid import kid_from_features
+
+    rng = np.random.default_rng(0)
+    a1 = rng.normal(size=(400, 16))
+    a2 = rng.normal(size=(400, 16))
+    b = rng.normal(loc=1.0, size=(400, 16))
+
+    same_mean, same_std = kid_from_features(a1, a2, n_subsets=50,
+                                            subset_size=100)
+    diff_mean, _ = kid_from_features(a1, b, n_subsets=50, subset_size=100)
+    # unbiased MMD² fluctuates around 0 for identical distributions
+    assert abs(same_mean) < 5 * max(same_std, 1e-6)
+    assert diff_mean > 10 * abs(same_mean)
+    assert diff_mean > 0
+
+
+def test_compute_kid_stream_interface():
+    import jax.numpy as jnp
+
+    from uig.eval.fid import compute_kid
+
+    rng = np.random.default_rng(1)
+    feature_fn = jax.jit(lambda x: jnp.mean(x, axis=(1, 2)))
+
+    def batches(loc):
+        for _ in range(4):
+            yield jnp.asarray(rng.normal(loc, 1.0, (8, 6, 6, 12)),
+                              jnp.float32)
+
+    mean, std = compute_kid(batches(0.0), batches(0.0), feature_fn,
+                            n_subsets=20, subset_size=16)
+    assert np.isfinite(mean) and np.isfinite(std)
+    mean2, _ = compute_kid(batches(0.0), batches(3.0), feature_fn,
+                           n_subsets=20, subset_size=16)
+    assert mean2 > mean
