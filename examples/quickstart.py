@@ -11,6 +11,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "src"))
 
 import jax
+
+# Robust backend pick: if an env pins JAX_PLATFORMS to an accelerator that
+# can't initialize here (e.g. a TPU tunnel that is not claimable), fall
+# back to CPU instead of crashing the quickstart.
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from uig import apply_overrides, fit, get_preset

@@ -50,6 +50,35 @@ def _smoke64() -> Config:
     )
 
 
+def _smalldata64() -> Config:
+    """The round-2-validated small-dataset recipe (BASELINE.md "Quality run
+    v2"): TTUR (d_lr_ratio=0.5) + R1 (gamma=0.05) remove the D-overpowers-G
+    collapse on few-hundred-image sets, and resize_conv upsampling (no
+    checkerboard) improved best random-feature FID 20% (0.245@4500 vs the
+    canonical recipe's 0.306@2000-then-collapse)."""
+    return Config(
+        model=ModelConfig(
+            kind="cyclegan",
+            image_size=64,
+            n_res_blocks=6,
+            d_layers=3,
+            upsample="resize_conv",
+        ),
+        loss=LossConfig(gan_mode="lsgan", r1_gamma=0.05),
+        opt=OptConfig(total_steps=5000, decay_start_step=2500,
+                      d_lr_ratio=0.5, pool_size=50),
+        data=DataConfig(
+            source="synthetic",
+            load_size=72,
+            batch_size=8,
+            augment="pallas",
+            synthetic_len=200,
+        ),
+        eval=EvalConfig(fid_every=250, fid_num_samples=200),
+        run=RunConfig(name="smalldata64", log_every=100, ckpt_every=1000),
+    )
+
+
 def _cyclegan128() -> Config:
     return Config(
         model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6),
@@ -126,6 +155,7 @@ def _vqgan512() -> Config:
 
 PRESETS = {
     "smoke64": _smoke64,
+    "smalldata64": _smalldata64,
     "cyclegan128": _cyclegan128,
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
