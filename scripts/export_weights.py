@@ -135,15 +135,30 @@ def convert_vgg16(sd: dict) -> dict:
     return out
 
 
+def convert_lpips_lin(sd: dict) -> dict:
+    """Official LPIPS lin weights (lpips/weights/v0.1/vgg.pth: keys
+    lin{0..4}.model.1.weight, shape (1, C, 1, 1)) -> npz {lin0: (C,), ...}
+    for uig.eval.lpips.make_lpips(lin_path=...)."""
+    out = {}
+    for i in range(5):
+        tk = f"lin{i}.model.1.weight"
+        if tk not in sd:
+            raise KeyError(f"missing {tk} — is this an official LPIPS "
+                           "(net='vgg') weights state_dict?")
+        out[f"lin{i}"] = np.asarray(sd[tk]).reshape(-1).astype(np.float32)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("net", choices=("inception", "vgg16"))
+    ap.add_argument("net", choices=("inception", "vgg16", "lpips_lin"))
     ap.add_argument("--src", required=True, help=".pth/.pt/.npz checkpoint")
     ap.add_argument("--out", required=True, help="output .npz path")
     args = ap.parse_args(argv)
 
     sd = _load_state_dict(args.src)
-    conv = convert_inception if args.net == "inception" else convert_vgg16
+    conv = {"inception": convert_inception, "vgg16": convert_vgg16,
+            "lpips_lin": convert_lpips_lin}[args.net]
     np.savez(args.out, **conv(sd))
     print(f"wrote {args.out} ({len(np.load(args.out).files)} arrays)")
 

@@ -32,6 +32,13 @@ class ModelConfig:
     upsample: str = "conv_transpose"  # conv_transpose | resize_conv
     norm: str = "instance"  # instance | group | none
     padding: str = "reflect"  # reflect | zeros
+    # reflect-conv lowering. "fused": implicit-zero-pad conv + exact border
+    # ring overwrite — canonical reflect semantics WITHOUT the ~20% step tax
+    # explicit pads cost (they defeat XLA's pad-into-conv fusion; BASELINE.md
+    # round-2 pad ablation). "explicit": materialized reflect pad (the
+    # canonical-but-slow lowering; kept for A/Bs and as the fallback for
+    # planes ≤ 2·pad).
+    pad_impl: str = "fused"  # fused | explicit
     # PatchGAN discriminator
     d_base_features: int = 64
     d_layers: int = 3  # 3 => 70x70 receptive field
@@ -49,11 +56,13 @@ class ModelConfig:
     #            memory savings in the trunk, compiler-friendlier program)
     # bools are accepted for backward compat (True→full, False→none).
     remat: str = "none"
-    # conv/norm execution for the generator's movement-bound shapes:
-    # "pallas" = s2d coarse-domain Pallas kernels for the 7x7 stem/head and
-    # stride-2 downsample convs + one-residency instance norms (the honest
-    # round-2 breakdown: head ran at 0.018 of roofline under XLA); trunk
-    # resblocks always stay on XLA (measured already near the MXU ceiling).
+    # conv execution for the generator's movement-bound shapes:
+    # "pallas" = s2d coarse-domain Pallas kernel for the 7x7 head conv
+    # (the honest round-2 breakdown: head ran at 0.018 of roofline under
+    # XLA; the Pallas kernel wins 1.5x in isolation but loses in-graph to
+    # XLA fusion — BASELINE.md round 2). Everything else (trunk resblocks,
+    # stem, downsample, instance norms) always stays on XLA, which measured
+    # at or near the practical ceiling for those shapes.
     conv_impl: str = "xla"  # xla | pallas
     # space-to-depth factor for the 3-channel generator head conv (0 = off).
     # The c7s1-3 head is 3/128 MXU-lane-efficient and ~25% of the 256² step;
@@ -141,6 +150,9 @@ class EvalConfig:
     fid_features: str = "auto"  # auto | inception | random
     inception_weights: str = ""  # optional .npz path (zero-egress environment)
     vgg_weights: str = ""  # optional .npz for LPIPS (else random seed-0 VGG)
+    # optional official LPIPS lin-layer weights .npz (export_weights.py
+    # lpips_lin); with it AND vgg_weights the term is exact published LPIPS
+    lpips_lin_weights: str = ""
     fid_every: int = 0  # in-training FID cadence (0 = off); enables best-FID
     fid_batch_size: int = 16
     sample_grid_every: int = 1000

@@ -297,12 +297,20 @@ def resolve_dataset(path: str, load_size: int, source: str = "auto"):
             source = "packed"
         elif path.endswith((".tfrecord", ".tfrecords")):
             source = "tfrecord"
-        elif os.path.isdir(path) and any(
-                f.endswith((".tfrecord", ".tfrecords"))
-                for f in os.listdir(path)):
-            source = "tfrecord"
+        elif os.path.isdir(path):
+            entries = os.listdir(path)
+            if any(f.endswith((".tfrecord", ".tfrecords")) for f in entries):
+                source = "tfrecord"
+            elif any(f.endswith(".npy") for f in entries):
+                raise ValueError(
+                    f"{path!r} is a directory of packed .npy shards — point "
+                    "at one .npy file (source=packed), not the directory")
+            else:
+                source = "folders"
         else:
-            source = "folders"
+            raise FileNotFoundError(
+                f"dataset path {path!r} does not exist (expected an image "
+                "directory, a packed .npy file, or a .tfrecord file)")
     if source == "folders":
         return FolderDataset(path, load_size)
     if source == "packed":

@@ -131,14 +131,19 @@ def kid_from_features(real: np.ndarray, fake: np.ndarray,
 
 
 def compute_kid(real_batches: Iterable, fake_batches: Iterable,
-                feature_fn: Callable, **kw) -> tuple[float, float]:
+                feature_fn: Callable, feature_dim: int | None = None,
+                **kw) -> tuple[float, float]:
     """KID between two image streams (same interface as compute_fid).
-    Multi-host: features are gathered across processes first."""
+    Multi-host: features are gathered across processes first; a host whose
+    shard is empty contributes a (0, feature_dim) block (pass feature_dim
+    to allow that — without it an empty stream is an error)."""
     feats = []
     for batches in (real_batches, fake_batches):
         fs = [np.asarray(jax.device_get(feature_fn(b))) for b in batches]
         if not fs:
-            raise ValueError("empty image stream for KID")
+            if feature_dim is None:
+                raise ValueError("empty image stream for KID")
+            fs = [np.zeros((0, feature_dim), np.float64)]
         feats.append(np.concatenate(fs, 0))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -149,15 +154,18 @@ def compute_kid(real_batches: Iterable, fake_batches: Iterable,
 
 
 def compute_fid(real_batches: Iterable, fake_batches: Iterable,
-                feature_fn: Callable) -> float:
+                feature_fn: Callable, feature_dim: int | None = None) -> float:
     """FID between two streams of (B, H, W, 3) images in [-1, 1].
 
     Multi-host: each host streams its shard; stats are summed across
-    processes before the Fréchet solve.
+    processes before the Fréchet solve. A host whose shard is empty (fewer
+    eval images than processes) contributes n=0 stats and still joins the
+    reduction — pass feature_dim to allow that; without it an empty local
+    stream is an error.
     """
     stats = []
     for batches in (real_batches, fake_batches):
-        st = None
+        st = FIDStats(feature_dim) if feature_dim is not None else None
         for b in batches:
             f = np.asarray(jax.device_get(feature_fn(b)))
             if st is None:
@@ -178,4 +186,6 @@ def compute_fid(real_batches: Iterable, fake_batches: Iterable,
             d = st.s.shape[0]
             st.s = summed[1 : 1 + d]
             st.ss = summed[1 + d :].reshape(d, d)
+    if r.n == 0 or g.n == 0:
+        raise ValueError("empty global image stream for FID")
     return frechet_distance(r.mean, r.cov, g.mean, g.cov)

@@ -51,7 +51,12 @@ class InceptionA(nn.Module):
         b3 = BasicConv(64, (1, 1), name="b3x3dbl_1")(x)
         b3 = BasicConv(96, (3, 3), name="b3x3dbl_2")(b3)
         b3 = BasicConv(96, (3, 3), name="b3x3dbl_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        # count_include_pad=False matches pytorch-fid's FIDInception blocks
+        # (the canonical FID network patches torchvision's avg pools this
+        # way); with it True, border features diverge from every published
+        # FID number. Torch forward-parity: tests/unit/test_inception_oracle.py
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = BasicConv(self.pool_features, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], -1)
 
@@ -84,7 +89,8 @@ class InceptionC(nn.Module):
         bd = BasicConv(c7, (1, 7), name="b7x7dbl_3")(bd)
         bd = BasicConv(c7, (7, 1), name="b7x7dbl_4")(bd)
         bd = BasicConv(192, (1, 7), name="b7x7dbl_5")(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = BasicConv(192, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], -1)
 
@@ -122,7 +128,8 @@ class InceptionE(nn.Module):
         if self.pool == "max":
             bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         else:
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         bp = BasicConv(192, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], -1)
 

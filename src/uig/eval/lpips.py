@@ -1,15 +1,27 @@
-"""LPIPS perceptual loss (SURVEY.md §2 "Loss library": LPIPS term).
+"""LPIPS perceptual metric/loss (SURVEY.md §2 "Loss library": LPIPS term).
 
-VGG16-topology feature stack; the LPIPS distance is the layer-weighted L2
-between channel-unit-normalized feature maps. The perceptual term is pure
-and closed over its params, so it inlines into the generator's jitted loss
-(one XLA program — no separate dispatch).
+Canonical LPIPS (Zhang et al. 2018, net='vgg') is three pieces, all present
+here:
+
+  1. a fixed input scaling layer mapping [-1, 1] pixels to the
+     ImageNet-normalized statistics the VGG backbone was trained on
+     ((x - shift) / scale with the published constants);
+  2. the VGG16 feature stack, tapped after the last relu of each of the 5
+     stages (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3), features
+     channel-unit-normalized;
+  3. learned per-layer 1×1 "lin" weights on the squared feature differences,
+     spatially averaged and SUMMED over layers.
+
+The term is pure and closed over its params, so it inlines into the
+generator's jitted loss (one XLA program — no separate dispatch).
 
 Zero-egress environment: with ``cfg.eval.vgg_weights`` unset, features come
-from a fixed seed-0 random VGG — random-VGG LPIPS is a known-reasonable
-perceptual metric and keeps the term deterministic. The loss is a *training
-signal*, not a reported metric, so relative behavior is what matters; the
-resolved config (dumped next to checkpoints) records the weights path used.
+from a fixed seed-0 random VGG, and without ``cfg.eval.lpips_lin_weights``
+the lin stage falls back to equal channel weights with a layer average —
+a known-reasonable perceptual *training signal* (recorded in the resolved
+config), but not the published LPIPS metric. With both weight files
+(produced by scripts/export_weights.py) the distance matches the official
+torch implementation ≤1e-5 (tests/unit/test_lpips_oracle.py).
 """
 
 from __future__ import annotations
@@ -23,6 +35,9 @@ VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
              512, 512, 512, "M", 512, 512, 512)
 # taps after the last conv of each stage (relu indices in the flat stack)
 TAP_STAGES = (1, 3, 6, 9, 12)
+# official LPIPS ScalingLayer constants (maps [-1,1] to ImageNet-normalized)
+LPIPS_SHIFT = (-0.030, -0.088, -0.188)
+LPIPS_SCALE = (0.458, 0.448, 0.450)
 
 
 class VGG16Features(nn.Module):
@@ -48,21 +63,43 @@ def _unit_normalize(f):
     return f * jax.lax.rsqrt(jnp.sum(jnp.square(f), -1, keepdims=True) + 1e-10)
 
 
-def make_lpips(cfg=None, weights_path: str | None = None):
-    """Returns lpips(x, y) -> scalar; x, y in [-1, 1], NHWC."""
+def make_lpips(cfg=None, weights_path: str | None = None,
+               lin_path: str | None = None):
+    """Returns lpips(x, y) -> scalar; x, y in [-1, 1], NHWC.
+
+    ``weights_path``: VGG16 conv weights npz (scripts/export_weights.py
+    vgg16). ``lin_path``: official LPIPS lin weights npz (…py lpips_lin);
+    when given, the distance is exact official LPIPS (per-layer learned
+    channel weights, layer sum); when absent, equal channel weights with a
+    layer average (documented fallback).
+    """
+    if cfg is not None and lin_path is None:
+        lin_path = getattr(cfg.eval, "lpips_lin_weights", "") or None
     net = VGG16Features()
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     if weights_path:
         params = _load_flat(params, np.load(weights_path))
+    lins = None
+    if lin_path:
+        loaded = np.load(lin_path)
+        lins = [jnp.asarray(loaded[f"lin{i}"], jnp.float32) for i in range(5)]
+    shift = jnp.asarray(LPIPS_SHIFT, jnp.float32)
+    scale = jnp.asarray(LPIPS_SCALE, jnp.float32)
 
     def lpips(x, y):
-        fx = net.apply(params, x.astype(jnp.float32))
-        fy = net.apply(params, y.astype(jnp.float32))
+        xs = (x.astype(jnp.float32) - shift) / scale
+        ys = (y.astype(jnp.float32) - shift) / scale
+        fx = net.apply(params, xs)
+        fy = net.apply(params, ys)
         d = jnp.float32(0.0)
-        for a, b in zip(fx, fy):
-            diff = _unit_normalize(a) - _unit_normalize(b)
-            d = d + jnp.mean(jnp.sum(jnp.square(diff), -1))
-        return d / len(fx)
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            sq = jnp.square(_unit_normalize(a) - _unit_normalize(b))
+            if lins is not None:
+                # official: 1x1 non-negative lin conv, spatial mean, layer sum
+                d = d + jnp.mean(jnp.sum(sq * lins[i], -1), axis=None)
+            else:
+                d = d + jnp.mean(jnp.sum(sq, -1))
+        return d if lins is not None else d / len(fx)
 
     return lpips
 

@@ -73,14 +73,74 @@ def _in_plane_fits(shape, budget: int = 40 << 20) -> bool:
     return h * w * (-(-c // 128) * 128) * 2 * 2 < budget
 
 
-def _norm(kind: str, dtype, impl: str = "xla") -> Callable[[], nn.Module]:
+def _norm(kind: str, dtype) -> Callable[[], nn.Module]:
     if kind == "instance":
-        return lambda: InstanceNorm(dtype=dtype, impl=impl)
+        return lambda: InstanceNorm(dtype=dtype)
     if kind == "group":
         return lambda: nn.GroupNorm(num_groups=32, dtype=dtype)
     if kind == "none":
         return lambda: (lambda x: x)
     raise ValueError(f"unknown norm {kind!r}")
+
+
+def reflect_conv2d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME-shaped stride-1 reflect-padded conv at zero-pad fusion cost.
+
+    Math identity: conv(reflect_pad(x)) differs from conv with implicit zero
+    padding ONLY on the p-wide output border ring (p = k//2) — interior
+    outputs never touch the pad. So:
+
+      1. run the conv with IMPLICIT zero padding — padding lives inside the
+         convolution HLO, so XLA's pad-into-conv fusion applies (an explicit
+         pad op materializes the activation and costs ~20% of the whole 256²
+         train step, BASELINE.md round-2 pad ablation);
+      2. overwrite the output ring with the exact reflect result, computed
+         by tiny strip convs (strip height p+k-1, top+bottom and left+right
+         batched into one conv each).
+
+    Exact same linear map as pad2d(x, p, "reflect") + VALID conv (ring
+    values come from identical dot products; interior from identical
+    zero-region sums), so gradients via autodiff are exact too: the update
+    ring masks the main conv's cotangent and routes it to the strips.
+
+    Requires odd k and H, W > 2p (callers fall back to the explicit pad for
+    tiny planes).
+    """
+    k = w.shape[0]
+    p = k // 2
+    h, wd = x.shape[1], x.shape[2]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv_valid(t):
+        return jax.lax.conv_general_dilated(
+            t, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=dn)
+
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
+        dimension_numbers=dn)
+
+    # top/bottom strips: pad rows are reflected interior rows; real rows are
+    # the k-1 rows the ring outputs still read. Columns get the ordinary
+    # reflect pad (column reflection is row-independent, so the strip's
+    # columns equal the full padded plane's columns).
+    top = jnp.concatenate([jnp.flip(x[:, 1:p + 1], 1), x[:, :k - 1]], 1)
+    bot = jnp.concatenate([x[:, h - k + 1:], jnp.flip(x[:, h - p - 1:h - 1], 1)], 1)
+    tb = jnp.pad(jnp.concatenate([top, bot], 0),
+                 ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
+    tb_out = conv_valid(tb)  # (2B, p, W, f)
+    b = x.shape[0]
+    y = y.at[:, :p].set(tb_out[:b])
+    y = y.at[:, h - p:].set(tb_out[b:])
+
+    # left/right strips cover the remaining ring rows [p, H-p).
+    lft = jnp.concatenate([jnp.flip(x[:, :, 1:p + 1], 2), x[:, :, :k - 1]], 2)
+    rgt = jnp.concatenate(
+        [x[:, :, wd - k + 1:], jnp.flip(x[:, :, wd - p - 1:wd - 1], 2)], 2)
+    lr_out = conv_valid(jnp.concatenate([lft, rgt], 0))  # (2B, H-2p, p, f)
+    y = y.at[:, p:h - p, :p].set(lr_out[:b])
+    y = y.at[:, p:h - p, wd - p:].set(lr_out[b:])
+    return y
 
 
 def pad2d(x: jax.Array, p: int, mode: str) -> jax.Array:
@@ -130,6 +190,11 @@ class PadConv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d_block: int = 0  # 0/1 = off; b>1 = space-to-depth factor
+    # "fused": reflect SAME convs run as an implicit-zero-pad conv (keeps
+    # XLA's pad-into-conv fusion) + exact border-ring overwrite — reflect
+    # semantics at zero-pad cost (reflect_conv2d). "explicit": materialize
+    # the reflect pad then VALID conv (the canonical-but-slow lowering).
+    pad_impl: str = "fused"
     # "pallas": route the two movement-bound shapes (7x7 s1 p3 and
     # 3x3 s2 p1) to uig.kernels.conv_pallas (s2d coarse-domain im2col
     # matmul, fwd+bwd in Pallas). Anything else falls back to lax.conv.
@@ -162,25 +227,29 @@ class PadConv(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (f,))
                 if self.use_bias else None)
         route = self._pallas_route(x)
-        if route:
-            from uig.kernels.conv_pallas import conv3s2_s2d, conv7_s2d
+        if route == "conv7":
+            from uig.kernels.conv_pallas import conv7_s2d
 
             xdt = x.astype(self.dtype)
             wdt = w.astype(self.dtype)
             bdt = None if bias is None else bias.astype(self.dtype)
-            if route == "conv7":
-                return conv7_s2d(xdt, wdt, bdt, pad_mode=self.pad_mode)
-            return conv3s2_s2d(xdt, wdt, bdt)
-        x = pad2d(x, self.pad, self.pad_mode)
+            return conv7_s2d(xdt, wdt, bdt, pad_mode=self.pad_mode)
         b = self.s2d_block
-        if b and b > 1 and self.stride == 1:
-            y = self._s2d_conv(x, w, b)
+        if (self.pad_impl == "fused" and self.pad_mode == "reflect"
+                and self.stride == 1 and not (b and b > 1)
+                and k % 2 == 1 and self.pad == k // 2 and self.pad > 0
+                and x.shape[1] > 2 * self.pad and x.shape[2] > 2 * self.pad):
+            y = reflect_conv2d(x.astype(self.dtype), w.astype(self.dtype))
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w.astype(self.dtype),
-                window_strides=(self.stride, self.stride), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            x = pad2d(x, self.pad, self.pad_mode)
+            if b and b > 1 and self.stride == 1:
+                y = self._s2d_conv(x, w, b)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), w.astype(self.dtype),
+                    window_strides=(self.stride, self.stride), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y.astype(self.dtype)
@@ -264,16 +333,17 @@ class ResnetBlock(nn.Module):
     features: int
     norm: str = "instance"
     pad_mode: str = "reflect"
+    pad_impl: str = "fused"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         norm = _norm(self.norm, self.dtype)
         h = PadConv(self.features, 3, pad=1, pad_mode=self.pad_mode,
-                    dtype=self.dtype)(x)
+                    pad_impl=self.pad_impl, dtype=self.dtype)(x)
         h = norm()(h)
         h = nn.relu(h)
         h = PadConv(self.features, 3, pad=1, pad_mode=self.pad_mode,
-                    dtype=self.dtype)(h)
+                    pad_impl=self.pad_impl, dtype=self.dtype)(h)
         h = norm()(h)
         return x + h

@@ -45,17 +45,23 @@ class ResNetGenerator(nn.Module):
     # BASELINE.md round 2). Kept as an experimentation knob and for
     # shapes/backends where the fusion story differs.
     conv_impl: str = "xla"
+    # reflect-conv lowering: "fused" = implicit-zero-pad conv + exact
+    # border-ring overwrite (reflect semantics at zero-pad fusion cost —
+    # layers.reflect_conv2d); "explicit" = materialized reflect pad.
+    pad_impl: str = "fused"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         f = self.base_features
         dt = self.dtype
         ci = self.conv_impl
+        pi = self.pad_impl
         block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         layers: list = []
         # stem: c7s1-64
         layers += [
-            PadConv(f, 7, pad=3, pad_mode=self.pad_mode, dtype=dt, impl=ci),
+            PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=pi,
+                    dtype=dt, impl=ci),
             InstanceNorm(dtype=dt),
             "relu",
         ]
@@ -70,7 +76,8 @@ class ResNetGenerator(nn.Module):
         # residual trunk
         for _ in range(self.n_res_blocks):
             layers += [
-                block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode, dtype=dt)
+                block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode,
+                          pad_impl=pi, dtype=dt)
             ]
         # upsample: u128, u64
         for mult in (2, 1):
@@ -82,7 +89,7 @@ class ResNetGenerator(nn.Module):
         # head: c7s1-3 + tanh
         layers += [
             PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
-                    dtype=dt, s2d_block=self.head_s2d, impl=ci),
+                    pad_impl=pi, dtype=dt, s2d_block=self.head_s2d, impl=ci),
             "tanh",
         ]
         self.layers = layers

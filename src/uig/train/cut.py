@@ -83,7 +83,7 @@ class CUTTrainer:
             out_channels=m.out_channels, base_features=m.g_base_features,
             n_res_blocks=m.n_res_blocks, norm=m.norm, pad_mode=m.padding,
             upsample=m.upsample, head_s2d=m.head_s2d,
-            remat_blocks=self._remat == "blocks", conv_impl=m.conv_impl,
+            remat_blocks=self._remat == "blocks", conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=dt,
         )
         self.eval_generator = self.generator.copy(
@@ -185,21 +185,35 @@ class CUTTrainer:
             is_leaf=lambda x: isinstance(x, P))
 
     # ------------------------------------------------------------------
+    def _gen_apply(self, gen_params, x):
+        """Full generator forward; model.remat="full" wraps it in
+        jax.checkpoint (CycleGAN/VQGAN/VAE-GAN honor "full" the same way —
+        without this, "full" was silently a no-op for CUT)."""
+        fn = lambda p, v: self.generator.apply(p, v)
+        if self._remat == "full":
+            fn = jax.checkpoint(fn)
+        return fn(gen_params, x)
+
     def _nce(self, g_params, src_img, dst_img, key):
         """PatchNCE between encoder features of src and dst images
         (encoder-only forwards — the decoder half is skipped)."""
         cfg = self.cfg
-        f_src = self.generator.apply(
-            g_params["gen"], src_img, self.taps,
-            method=ResNetGenerator.encode_features)
-        f_dst = self.generator.apply(
-            g_params["gen"], dst_img, self.taps,
-            method=ResNetGenerator.encode_features)
+        enc = lambda p, v: self.generator.apply(
+            p, v, self.taps, method=ResNetGenerator.encode_features)
+        if self._remat == "full":
+            enc = jax.checkpoint(enc)
+        f_src = enc(g_params["gen"], src_img)
+        f_dst = enc(g_params["gen"], dst_img)
         total = jnp.float32(0.0)
         for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
             b, h, w, _ = fs.shape
             n = min(self.n_patches, h * w)
-            idx = jax.random.randint(jax.random.fold_in(key, i), (b, n), 0, h * w)
+            # sample WITHOUT replacement (canonical CUT uses randperm[:n]):
+            # top-n of per-image uniform keys = a uniform random n-subset of
+            # distinct locations. Duplicates would put the positive key in
+            # the negative set (identical logits) and inflate the loss floor.
+            scores = jax.random.uniform(jax.random.fold_in(key, i), (b, h * w))
+            _, idx = jax.lax.top_k(scores, n)
             q = self.head.apply(g_params["heads"][i], _sample_patches(fd, idx))
             k = self.head.apply(g_params["heads"][i], _sample_patches(fs, idx))
             total = total + L.patch_nce_loss(q, k, cfg.loss.nce_temperature)
@@ -209,7 +223,7 @@ class CUTTrainer:
         cfg = self.cfg
         loss_cfg = cfg.loss
         axis = self.axis
-        G, D = self.generator, self.discriminator
+        D = self.discriminator
         dt = jnp.dtype(cfg.model.compute_dtype)
 
         step_key = fold_step(state.rng, state.step)
@@ -227,14 +241,14 @@ class CUTTrainer:
             real_b = real_b.astype(dt)
 
         def g_loss_fn(g_params):
-            fake_b = G.apply(g_params["gen"], real_a)
+            fake_b = self._gen_apply(g_params["gen"], real_a)
             adv = L.gan_loss_g(D.apply(state.d_params, fake_b),
                                loss_cfg.gan_mode)
             nce = self._nce(g_params, real_a, fake_b, keys["nce"])
             total = adv + loss_cfg.lambda_nce * nce
             nce_idt = jnp.float32(0.0)
             if loss_cfg.nce_include_identity:
-                idt_b = G.apply(g_params["gen"], real_b)
+                idt_b = self._gen_apply(g_params["gen"], real_b)
                 nce_idt = self._nce(g_params, real_b, idt_b, keys["nce_idt"])
                 total = total + loss_cfg.lambda_nce * nce_idt
             return total, {"fake_b": fake_b, "g_adv": adv, "nce": nce,

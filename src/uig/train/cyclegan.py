@@ -64,7 +64,7 @@ class CycleGANTrainer:
             upsample=m.upsample,
             head_s2d=m.head_s2d,
             remat_blocks=self._remat == "blocks",
-            conv_impl=m.conv_impl,
+            conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=dt,
         )
         self.discriminator = PatchDiscriminator(
@@ -79,7 +79,7 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample,
             head_s2d=m.head_s2d,
-            conv_impl=m.conv_impl,
+            conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=jnp.dtype(m.eval_dtype),
         )
         self.g_tx = make_optimizer(cfg.opt)

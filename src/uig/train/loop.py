@@ -177,7 +177,11 @@ def _inline_fid(cfg, trainer, state) -> float:
     bs = cfg.eval.fid_batch_size
     crop = cfg.model.image_size
     hc, hi = jax.process_count(), jax.process_index()
-    mine = list(range(hi, n, hc)) or [hi % n]  # never an empty local stream
+    # a host may own zero indices (fid_num_samples < process_count); it then
+    # contributes empty (n=0) stats to the cross-process reduction instead of
+    # re-using an image another host already owns (which would double-count
+    # those features in the summed stats).
+    mine = list(range(hi, n, hc))
     ema = _local_ema(state)
 
     def real_batches():
@@ -192,7 +196,11 @@ def _inline_fid(cfg, trainer, state) -> float:
                 ema, center_crop_normalize(jnp.asarray(raw), crop), "a2b")
 
     feature_fn, _ = make_feature_fn(cfg)
-    return compute_fid(real_batches(), fake_batches(), feature_fn)
+    feat_dim = int(jax.eval_shape(
+        feature_fn,
+        jax.ShapeDtypeStruct((1, crop, crop, 3), jnp.float32)).shape[-1])
+    return compute_fid(real_batches(), fake_batches(), feature_fn,
+                       feature_dim=feat_dim)
 
 
 def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,

@@ -1,0 +1,85 @@
+"""Parity tests for the border-corrected reflect conv (layers.reflect_conv2d).
+
+The fused lowering (implicit-zero-pad conv + exact border-ring overwrite)
+must match the explicit reflect-pad + VALID conv bit-for-bit up to fp
+reassociation — forward AND gradients — for every kernel size the generator
+uses (k=3 trunk, k=7 stem/head).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uig.models.layers import PadConv, pad2d, reflect_conv2d
+
+
+def _explicit(x, w):
+    p = w.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        pad2d(x, p, "reflect"), w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("k", [3, 7])
+@pytest.mark.parametrize("shape", [(2, 16, 16, 5), (1, 9, 13, 4)])
+def test_forward_parity(k, shape):
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, shape, jnp.float32)
+    w = jax.random.normal(kw, (k, k, shape[-1], 6), jnp.float32)
+    got = reflect_conv2d(x, w)
+    want = _explicit(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 7])
+def test_grad_parity(k):
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (2, 12, 10, 3), jnp.float32)
+    w = jax.random.normal(kw, (k, k, 3, 4), jnp.float32)
+
+    def loss_fused(x, w):
+        return jnp.sum(jnp.sin(reflect_conv2d(x, w)))
+
+    def loss_explicit(x, w):
+        return jnp.sum(jnp.sin(_explicit(x, w)))
+
+    gx1, gw1 = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_explicit, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_forward_parity():
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (1, 16, 16, 8), jnp.bfloat16)
+    w = jax.random.normal(kw, (3, 3, 8, 8), jnp.bfloat16)
+    got = np.asarray(reflect_conv2d(x, w), np.float32)
+    want = np.asarray(_explicit(x, w), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("impl", ["fused", "explicit"])
+def test_padconv_impls_agree(impl):
+    """PadConv(pad_impl=fused) == PadConv(pad_impl=explicit), params shared."""
+    conv_f = PadConv(4, 3, pad=1, pad_mode="reflect", pad_impl="fused")
+    conv_e = PadConv(4, 3, pad=1, pad_mode="reflect", pad_impl="explicit")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 10, 10, 3))
+    params = conv_e.init(jax.random.PRNGKey(4), x)
+    ye = conv_e.apply(params, x)
+    yf = conv_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ye),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_padconv_tiny_plane_falls_back():
+    """Planes with H or W <= 2p must still work (explicit-pad fallback)."""
+    conv = PadConv(4, 7, pad=3, pad_mode="reflect", pad_impl="fused")
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 6, 6, 3))
+    params = conv.init(jax.random.PRNGKey(6), x)
+    y = conv.apply(params, x)
+    assert y.shape == (1, 6, 6, 4)
