@@ -36,6 +36,73 @@ def _peak_flops(device) -> float:
     return 197e12  # default: v5e
 
 
+def _real_pipeline_bench(cfg, global_batch, steps, synth_rate, n_chips):
+    """Measure the SAME train step fed by the real input pipeline
+    (synthetic set packed to .npy, UnpairedPipeline producer thread,
+    prefetch + device_put) in the same session as the pre-staged-input
+    number, and decompose the gap:
+
+      queue_stall_pct — time the step loop blocked in next(pipe)
+        (device starvation: the metric the north star bounds at ~0);
+      host_overhead_pct — remaining throughput gap vs the pre-staged
+        number. On this 1-CPU machine the producer thread contends with
+        the dispatch thread for the single core, which slows the step
+        WITHOUT ever appearing as queue wait (the round-2 26.8-vs-36.8
+        contradiction); on a production host with free cores it ≈ 0.
+    """
+    import dataclasses
+    import tempfile
+    import time as _time
+
+    import jax
+
+    from uig.data import make_input_pipeline
+    from uig.data.datasets import PackedDataset, SyntheticUnpairedDataset
+    from uig.metrics.writer import StepTimer
+    from uig.runtime import make_mesh
+    from uig.train.cyclegan import CycleGANTrainer
+
+    tmp = tempfile.mkdtemp(prefix="uig_bench_pack_")
+    syn = SyntheticUnpairedDataset(64, cfg.data.load_size, 0)
+    pa = os.path.join(tmp, "a.npy")
+    pb = os.path.join(tmp, "b.npy")
+    PackedDataset.pack(syn.domain_a, pa)
+    PackedDataset.pack(syn.domain_b, pb)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, source="packed", dir_a=pa, dir_b=pb,
+            batch_size=global_batch, num_workers=2, prefetch=2))
+    mesh = make_mesh()
+    trainer = CycleGANTrainer(cfg, mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    pipe = make_input_pipeline(cfg, mesh, start=True)
+    try:
+        state, m = trainer.train_step(state, next(pipe))
+        jax.device_get(m)  # compile + settle
+        timer = StepTimer()
+        t0 = _time.perf_counter()
+        for _ in range(steps):
+            timer.data_start()
+            batch = next(pipe)
+            timer.data_stop()
+            state, m = trainer.train_step(state, batch)
+            timer.step_done(global_batch)
+        jax.device_get(m)
+        wall = _time.perf_counter() - t0
+    finally:
+        pipe.stop()
+    real_rate = global_batch * steps / wall / n_chips
+    queue_stall = timer.stall_pct
+    gap_pct = max(0.0, 100.0 * (1.0 - real_rate / synth_rate))
+    return {
+        "real_pipeline_img_s_chip": round(real_rate, 3),
+        "real_pipeline_queue_stall_pct": round(queue_stall, 3),
+        "real_pipeline_host_overhead_pct": round(
+            max(0.0, gap_pct - queue_stall), 3),
+        "real_vs_prestaged": round(real_rate / synth_rate, 4),
+    }
+
+
 def main():
     import jax
     import numpy as np
@@ -111,7 +178,7 @@ def main():
             else:
                 vs = 0.0
 
-            print(json.dumps({
+            out = {
                 "metric": f"images/sec/chip, {image_size}x{image_size} CycleGAN train (bf16, batch={batch})",
                 "value": round(img_per_sec_chip, 3),
                 "unit": "images/sec/chip",
@@ -121,7 +188,11 @@ def main():
                 "repeats": repeats,
                 "roofline_frac": round(vs, 4),
                 "flops_per_step_tf": round((flops_per_step or 0) / 1e12, 2),
-            }))
+            }
+            if os.environ.get("UIG_BENCH_REAL"):
+                out.update(_real_pipeline_bench(
+                    cfg, batch * n_chips, steps, img_per_sec_chip, n_chips))
+            print(json.dumps(out))
             return
         except Exception as e:  # try a smaller batch (OOM etc.)
             last_err = e

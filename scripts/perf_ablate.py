@@ -17,6 +17,8 @@ import numpy as np
 
 ABLATIONS = {
     "baseline": [],
+    "pad_explicit": ["model.pad_impl=explicit"],
+    "head_s2d": ["model.head_s2d=4"],
     "pad_zeros": ["model.padding=zeros"],
     "resize_conv": ["model.upsample=resize_conv"],
     "remat_blocks": ["model.remat=blocks"],

@@ -24,7 +24,18 @@ def run_sample(run_dir: str, output_dir: str, n: int = 16, seed: int = 0,
     kind = cfg.model.kind
     if kind == "vaegan":
         imgs = trainer.sample(state.ema, rng, n)
+    elif kind == "vqgan_prior":
+        # the canonical stage-2 path: autoregressive prior over the code
+        # grid, decoded through the frozen stage-1 VQGAN
+        imgs = trainer.sample(state, rng, n)
     elif kind == "vqgan":
+        import warnings
+
+        warnings.warn(
+            "sampling a stage-1 vqgan run decodes UNIFORM-RANDOM codes "
+            "(texture noise, not generation) — train a latent prior "
+            "(model.kind=vqgan_prior, model.prior_vqgan_run=<this run>) "
+            "and sample that run instead", stacklevel=2)
         latent_hw = cfg.model.image_size // (
             2 ** (len(cfg.model.vq_channel_mults) - 1))
         codes = jax.random.randint(
@@ -33,7 +44,7 @@ def run_sample(run_dir: str, output_dir: str, n: int = 16, seed: int = 0,
     else:
         raise ValueError(
             f"model kind {kind!r} has no unconditional sampling path "
-            "(use vaegan or vqgan)")
+            "(use vaegan, vqgan_prior, or vqgan)")
 
     u8 = np.asarray(denormalize_to_u8(imgs))
     for i in range(n):

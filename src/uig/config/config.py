@@ -22,7 +22,7 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    kind: str = "cyclegan"  # cyclegan | cut | vqgan
+    kind: str = "cyclegan"  # cyclegan | cut | vqgan | vaegan | vqgan_prior
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
     out_channels: int = 3
@@ -77,6 +77,14 @@ class ModelConfig:
     vq_attn_resolutions: tuple[int, ...] = (32,)
     vq_beta: float = 0.25  # commitment cost
     attn_impl: str = "pallas"  # pallas | xla
+    # VQGAN latent prior (stage 2: autoregressive transformer over the code
+    # grid — kind="vqgan_prior"; models/prior.py)
+    prior_dim: int = 512
+    prior_depth: int = 8
+    prior_heads: int = 8
+    # finished stage-1 vqgan run dir whose frozen EMA params the prior
+    # trains against (required for kind="vqgan_prior" outside tests)
+    prior_vqgan_run: str = ""
     # CUT (rung 4)
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256

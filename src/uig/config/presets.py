@@ -81,7 +81,8 @@ def _smalldata64() -> Config:
 
 def _cyclegan128() -> Config:
     return Config(
-        model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6),
+        model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6,
+                          head_s2d=4),
         loss=LossConfig(gan_mode="lsgan"),
         opt=OptConfig(total_steps=100_000, decay_start_step=50_000),
         data=DataConfig(load_size=143, batch_size=1, augment="pallas"),
@@ -91,7 +92,8 @@ def _cyclegan128() -> Config:
 
 def _cyclegan256_dp() -> Config:
     return Config(
-        model=ModelConfig(kind="cyclegan", image_size=256, n_res_blocks=9),
+        model=ModelConfig(kind="cyclegan", image_size=256, n_res_blocks=9,
+                          head_s2d=4),
         loss=LossConfig(gan_mode="lsgan", lambda_lpips=1.0),
         opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
         data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
@@ -102,7 +104,8 @@ def _cyclegan256_dp() -> Config:
 
 def _cut256_multihost() -> Config:
     return Config(
-        model=ModelConfig(kind="cut", image_size=256, n_res_blocks=9),
+        model=ModelConfig(kind="cut", image_size=256, n_res_blocks=9,
+                          head_s2d=4),
         loss=LossConfig(gan_mode="lsgan", lambda_cycle=0.0, lambda_identity=0.0,
                         lambda_nce=1.0),
         opt=OptConfig(total_steps=200_000, decay_start_step=100_000),

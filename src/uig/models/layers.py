@@ -94,21 +94,43 @@ def reflect_conv2d(x: jax.Array, w: jax.Array) -> jax.Array:
          convolution HLO, so XLA's pad-into-conv fusion applies (an explicit
          pad op materializes the activation and costs ~20% of the whole 256²
          train step, BASELINE.md round-2 pad ablation);
-      2. overwrite the output ring with the exact reflect result, computed
-         by tiny strip convs (strip height p+k-1, top+bottom and left+right
-         batched into one conv each).
+      2. ADD the ring correction conv(reflect_strip − zero_strip) — the
+         real-content parts of the two strips cancel, leaving exactly
+         (reflect result − what the zero-pad conv already produced) on the
+         ring — via tiny strip convs (strip height p+k-1; top+bottom and
+         left+right each batched into one conv).
 
-    Exact same linear map as pad2d(x, p, "reflect") + VALID conv (ring
-    values come from identical dot products; interior from identical
-    zero-region sums), so gradients via autodiff are exact too: the update
-    ring masks the main conv's cotangent and routes it to the strips.
+    The ADDITIVE form (vs overwriting the ring) is what keeps the backward
+    fast: the `.at[].add` cotangent is an identity passthrough for the main
+    conv (stays one fused implicit-pad conv, same as padding=zeros) plus
+    ring slices for the strips — no full-plane masks anywhere (an earlier
+    overwrite formulation cost ~4 ms/G-apply in masked cotangents,
+    BASELINE.md round 3).
 
+    Gradients come from plain autodiff of this graph and are exact.
     Requires odd k and H, W > 2p (callers fall back to the explicit pad for
     tiny planes).
     """
     k = w.shape[0]
     p = k // 2
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
+        dimension_numbers=dn)
+    return add_reflect_ring_delta(y, x, w)
+
+
+def add_reflect_ring_delta(y: jax.Array, x: jax.Array,
+                           w: jax.Array) -> jax.Array:
+    """Add conv(reflect_pad(x)) − conv(zero_pad(x)) — nonzero only on the
+    p-wide output ring — onto ``y``, which must be the SAME-shaped stride-1
+    zero-padded conv of x by w (however it was executed: plain implicit-pad
+    conv, or the space-to-depth formulation — the delta only depends on the
+    linear map, not the execution)."""
+    k = w.shape[0]
+    p = k // 2
     h, wd = x.shape[1], x.shape[2]
+    b = x.shape[0]
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv_valid(t):
@@ -116,30 +138,35 @@ def reflect_conv2d(x: jax.Array, w: jax.Array) -> jax.Array:
             t, w, window_strides=(1, 1), padding="VALID",
             dimension_numbers=dn)
 
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
-        dimension_numbers=dn)
+    zrow = jnp.zeros((b, p, wd, x.shape[3]), x.dtype)
+    # top/bottom strips: pad rows + the k-1 real rows the ring outputs read.
+    # reflect variant: reflected interior rows, reflect-padded columns.
+    # zero variant: zero pad rows, zero-padded columns (what the main conv's
+    # implicit padding used). Their difference cancels all real content.
+    top_r = jnp.concatenate([jnp.flip(x[:, 1:p + 1], 1), x[:, :k - 1]], 1)
+    bot_r = jnp.concatenate(
+        [x[:, h - k + 1:], jnp.flip(x[:, h - p - 1:h - 1], 1)], 1)
+    top_z = jnp.concatenate([zrow, x[:, :k - 1]], 1)
+    bot_z = jnp.concatenate([x[:, h - k + 1:], zrow], 1)
+    tb_r = jnp.pad(jnp.concatenate([top_r, bot_r], 0),
+                   ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
+    tb_z = jnp.pad(jnp.concatenate([top_z, bot_z], 0),
+                   ((0, 0), (0, 0), (p, p), (0, 0)))
+    tb_out = conv_valid(tb_r - tb_z)  # (2B, p, W, f) delta
+    y = y.at[:, :p].add(tb_out[:b])
+    y = y.at[:, h - p:].add(tb_out[b:])
 
-    # top/bottom strips: pad rows are reflected interior rows; real rows are
-    # the k-1 rows the ring outputs still read. Columns get the ordinary
-    # reflect pad (column reflection is row-independent, so the strip's
-    # columns equal the full padded plane's columns).
-    top = jnp.concatenate([jnp.flip(x[:, 1:p + 1], 1), x[:, :k - 1]], 1)
-    bot = jnp.concatenate([x[:, h - k + 1:], jnp.flip(x[:, h - p - 1:h - 1], 1)], 1)
-    tb = jnp.pad(jnp.concatenate([top, bot], 0),
-                 ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
-    tb_out = conv_valid(tb)  # (2B, p, W, f)
-    b = x.shape[0]
-    y = y.at[:, :p].set(tb_out[:b])
-    y = y.at[:, h - p:].set(tb_out[b:])
-
-    # left/right strips cover the remaining ring rows [p, H-p).
-    lft = jnp.concatenate([jnp.flip(x[:, :, 1:p + 1], 2), x[:, :, :k - 1]], 2)
-    rgt = jnp.concatenate(
+    # left/right strips cover the remaining ring rows [p, H-p): no row
+    # padding is involved there, so only the column pads differ.
+    zcol = jnp.zeros((b, h, p, x.shape[3]), x.dtype)
+    lft_r = jnp.concatenate([jnp.flip(x[:, :, 1:p + 1], 2), x[:, :, :k - 1]], 2)
+    rgt_r = jnp.concatenate(
         [x[:, :, wd - k + 1:], jnp.flip(x[:, :, wd - p - 1:wd - 1], 2)], 2)
-    lr_out = conv_valid(jnp.concatenate([lft, rgt], 0))  # (2B, H-2p, p, f)
-    y = y.at[:, p:h - p, :p].set(lr_out[:b])
-    y = y.at[:, p:h - p, wd - p:].set(lr_out[b:])
+    lft_z = jnp.concatenate([zcol, x[:, :, :k - 1]], 2)
+    rgt_z = jnp.concatenate([x[:, :, wd - k + 1:], zcol], 2)
+    lr_out = conv_valid(jnp.concatenate([lft_r - lft_z, rgt_r - rgt_z], 0))
+    y = y.at[:, p:h - p, :p].add(lr_out[:b])  # (B, H-2p, p, f)
+    y = y.at[:, p:h - p, wd - p:].add(lr_out[b:])
     return y
 
 
@@ -235,14 +262,27 @@ class PadConv(nn.Module):
             bdt = None if bias is None else bias.astype(self.dtype)
             return conv7_s2d(xdt, wdt, bdt, pad_mode=self.pad_mode)
         b = self.s2d_block
-        if (self.pad_impl == "fused" and self.pad_mode == "reflect"
-                and self.stride == 1 and not (b and b > 1)
-                and k % 2 == 1 and self.pad == k // 2 and self.pad > 0
-                and x.shape[1] > 2 * self.pad and x.shape[2] > 2 * self.pad):
-            y = reflect_conv2d(x.astype(self.dtype), w.astype(self.dtype))
+        s2d_on = bool(b and b > 1 and self.stride == 1
+                      and x.shape[1] % b == 0 and x.shape[2] % b == 0)
+        fused_ok = (self.pad_impl == "fused" and self.pad_mode == "reflect"
+                    and self.stride == 1
+                    and k % 2 == 1 and self.pad == k // 2 and self.pad > 0
+                    and x.shape[1] > 2 * self.pad
+                    and x.shape[2] > 2 * self.pad)
+        if fused_ok:
+            xdt = x.astype(self.dtype)
+            wdt = w.astype(self.dtype)
+            if s2d_on:
+                # space-to-depth execution with IMPLICIT zero padding, then
+                # the same ring delta — both levers compose (the delta only
+                # depends on the linear map, not on how y was executed)
+                y = self._s2d_conv(xdt, wdt, b, pad=self.pad)
+                y = add_reflect_ring_delta(y, xdt, wdt)
+            else:
+                y = reflect_conv2d(xdt, wdt)
         else:
             x = pad2d(x, self.pad, self.pad_mode)
-            if b and b > 1 and self.stride == 1:
+            if s2d_on:
                 y = self._s2d_conv(x, w, b)
             else:
                 y = jax.lax.conv_general_dilated(
@@ -254,11 +294,14 @@ class PadConv(nn.Module):
             y = y + bias.astype(self.dtype)
         return y.astype(self.dtype)
 
-    def _s2d_conv(self, x: jax.Array, w: jax.Array, b: int) -> jax.Array:
+    def _s2d_conv(self, x: jax.Array, w: jax.Array, b: int,
+                  pad: int = 0) -> jax.Array:
+        """``pad`` > 0: x is UNpadded and the zero padding is implicit in
+        the conv (the fusable form); pad == 0: x arrives pre-padded."""
         k, f = self.kernel, self.features
         cin = x.shape[-1]
-        h_out = x.shape[1] - k + 1
-        w_out = x.shape[2] - k + 1
+        h_out = x.shape[1] + 2 * pad - k + 1
+        w_out = x.shape[2] + 2 * pad - k + 1
         if h_out % b or w_out % b:
             raise ValueError(
                 f"s2d_block={b} needs output spatial divisible by {b}, "
@@ -272,7 +315,7 @@ class PadConv(nn.Module):
                 wb = wb.at[di:di + k, dj:dj + k, :, s:s + f].set(w)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wb.astype(self.dtype),
-            window_strides=(b, b), padding="VALID",
+            window_strides=(b, b), padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # (B, h/b, w/b, b*b*f)
         # depth-to-space: slot (di, dj) -> output subpixel (di, dj)

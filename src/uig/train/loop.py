@@ -49,6 +49,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.vaegan_trainer import VAEGANTrainer
 
         return VAEGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "vqgan_prior":
+        from uig.train.prior_trainer import PriorTrainer
+
+        return PriorTrainer(cfg, mesh)
     raise ValueError(f"unknown model kind {kind!r}")
 
 

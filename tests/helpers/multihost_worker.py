@@ -74,8 +74,46 @@ fid_cfg = _dc.replace(cfg, eval=_dc.replace(cfg.eval, fid_num_samples=8,
                                             fid_batch_size=4))
 fid = float(_inline_fid(fid_cfg, trainer, state))
 
+# in-training FID with FEWER eval images than hosts: host 1 owns zero
+# indices and must contribute empty stats (not a duplicated image) — both
+# hosts still agree on the value.
+tiny_fid_cfg = _dc.replace(cfg, eval=_dc.replace(cfg.eval, fid_num_samples=1,
+                                                 fid_batch_size=4))
+fid_tiny = float(_inline_fid(tiny_fid_cfg, trainer, state))
+
+
+def _checksum(tree) -> float:
+    leaves = jax.tree_util.tree_leaves(jax.device_get(
+        jax.tree_util.tree_map(lambda x: x.addressable_data(0), tree)))
+    return float(sum(np.float64(np.asarray(l)).sum() for l in leaves))
+
+
+# distributed checkpoint roundtrip (VERDICT round-2 item 8 — orbax
+# multi-process save coordination is the classic place a pod launch dies
+# first): save under process_count()==2, restore into a fresh state
+# template, continue one step, and record a checksum of the continued
+# params for cross-process comparison.
+from uig.checkpoint.ckpt import CheckpointManager
+
+ckpt_dir = os.path.join(outdir, "ckpt")  # shared dir, as on a pod's NFS/GCS
+mngr = CheckpointManager(ckpt_dir, keep=2)
+mngr.save(1, state, data_state=pipe.state_dict(), force=True)
+mngr.wait()
+template = trainer.init_state(jax.random.PRNGKey(0))
+restored, data_state, _ = mngr.restore(template)
+mngr.close()
+restore_checksum = _checksum(restored.g_params)
+pipe2 = make_input_pipeline(cfg, mesh, start=False)
+pipe2.load_state_dict(data_state)
+state2, metrics2 = trainer.train_step(restored, next(pipe2))
+continued_checksum = _checksum(state2.g_params)
+
 with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
     json.dump({"metrics": host_metrics, "checksum": checksum, "fid": fid,
+               "fid_tiny": fid_tiny,
+               "restore_checksum": restore_checksum,
+               "continued_checksum": continued_checksum,
+               "continued_metrics": {k: float(v) for k, v in metrics2.items()},
                "devices": jax.device_count(),
                "local_devices": jax.local_device_count()}, f)
 print("WORKER_DONE", proc_id)

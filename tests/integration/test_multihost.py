@@ -56,6 +56,18 @@ def test_two_process_dp(tmp_path):
     # per-host shard stats were reduced across processes)
     assert np.isfinite(views[0]["fid"]) and views[0]["fid"] >= 0
     assert views[0]["fid"] == views[1]["fid"]
+    # with fewer eval images than hosts, the index-less host contributes
+    # empty stats (no double-counting) and both hosts still agree
+    assert np.isfinite(views[0]["fid_tiny"]) and views[0]["fid_tiny"] >= 0
+    assert views[0]["fid_tiny"] == views[1]["fid_tiny"]
+    # distributed checkpoint roundtrip: the restored state matches what was
+    # saved, and one continued step stays bit-identical across hosts
+    for v in views:
+        assert v["restore_checksum"] == v["checksum"]
+    assert views[0]["continued_checksum"] == views[1]["continued_checksum"]
+    for k in views[0]["continued_metrics"]:
+        assert (views[0]["continued_metrics"][k]
+                == views[1]["continued_metrics"][k]), k
 
 
 def test_maybe_init_multihost_fails_loudly_not_silently(tmp_path):
