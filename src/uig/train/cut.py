@@ -66,6 +66,17 @@ def _sample_patches(feat: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
+def sample_patch_ids(key: jax.Array, batch: int, hw: int, n: int) -> jax.Array:
+    """(batch, n) flat spatial ids sampled WITHOUT replacement per image
+    (canonical CUT uses randperm[:n]): top-n of per-image uniform keys is a
+    uniform random n-subset of distinct locations. Duplicate ids would put
+    the positive key in the negative set (identical logits) and inflate the
+    NCE loss floor — ~8 expected collisions at 256 draws on a 64² map."""
+    scores = jax.random.uniform(key, (batch, hw))
+    _, idx = jax.lax.top_k(scores, n)
+    return idx
+
+
 class CUTTrainer:
     directions = ("a2b",)
 
@@ -208,12 +219,7 @@ class CUTTrainer:
         for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
             b, h, w, _ = fs.shape
             n = min(self.n_patches, h * w)
-            # sample WITHOUT replacement (canonical CUT uses randperm[:n]):
-            # top-n of per-image uniform keys = a uniform random n-subset of
-            # distinct locations. Duplicates would put the positive key in
-            # the negative set (identical logits) and inflate the loss floor.
-            scores = jax.random.uniform(jax.random.fold_in(key, i), (b, h * w))
-            _, idx = jax.lax.top_k(scores, n)
+            idx = sample_patch_ids(jax.random.fold_in(key, i), b, h * w, n)
             q = self.head.apply(g_params["heads"][i], _sample_patches(fd, idx))
             k = self.head.apply(g_params["heads"][i], _sample_patches(fs, idx))
             total = total + L.patch_nce_loss(q, k, cfg.loss.nce_temperature)

@@ -88,3 +88,30 @@ def test_d_lr_ratio_scales_schedule():
     base = lr_schedule(opt)(0)
     half = lr_schedule(opt, 0.5)(0)
     np.testing.assert_allclose(float(half), float(base) * 0.5, rtol=1e-6)
+
+
+def test_cut_patch_ids_without_replacement_lower_floor():
+    """VERDICT round-2 item 9: sampling NCE patch locations WITHOUT
+    replacement (sample_patch_ids) gives distinct ids and a measurably
+    lower loss floor than with-replacement draws (duplicates put the
+    positive key into the negative set with identical logits)."""
+    import jax
+
+    from uig.train.cut import _sample_patches, sample_patch_ids
+    from uig.train.losses import patch_nce_loss
+
+    key = jax.random.PRNGKey(0)
+    idx = sample_patch_ids(key, 4, 64 * 64, 256)
+    for row in np.asarray(idx):
+        assert len(set(row.tolist())) == 256  # no duplicates
+
+    # perfectly-aligned q == k: the floor is set purely by logit ties
+    feat = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 8))
+    n = 64
+    idx_u = sample_patch_ids(key, 4, 256, n)
+    idx_r = jax.random.randint(key, (4, n), 0, 256)  # old behavior
+    q_u = _sample_patches(feat, idx_u)
+    q_r = _sample_patches(feat, idx_r)
+    loss_u = float(patch_nce_loss(q_u, q_u))
+    loss_r = float(patch_nce_loss(q_r, q_r))
+    assert loss_u < loss_r, (loss_u, loss_r)
