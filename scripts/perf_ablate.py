@@ -18,7 +18,8 @@ import numpy as np
 ABLATIONS = {
     "baseline": [],
     "pad_explicit": ["model.pad_impl=explicit"],
-    "head_s2d": ["model.head_s2d=4"],
+    # head_s2d=4 became the preset default in round 3 — ablate it OFF
+    "head_s2d_off": ["model.head_s2d=0"],
     "pad_zeros": ["model.padding=zeros"],
     "resize_conv": ["model.upsample=resize_conv"],
     "remat_blocks": ["model.remat=blocks"],

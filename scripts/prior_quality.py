@@ -80,18 +80,22 @@ def main():
     n_samples, bs = 128, 16
     rng = jax.random.PRNGKey(0)
 
+    from uig.models.vqgan import VQGANGenerator
+
+    @jax.jit  # unjitted decode dispatches op-by-op through the tunnel
+    def decode_random(key):
+        codes = jax.random.randint(
+            key, (bs, trainer.grid_hw, trainer.grid_hw), 0,
+            trainer.prior.vocab)
+        return trainer.vqgan.apply(
+            trainer.vqgan_params, codes,
+            method=VQGANGenerator.decode_codes).astype(jnp.float32)
+
     prior_imgs, rand_imgs = [], []
     for i in range(n_samples // bs):
         k1, k2, rng = jax.random.split(rng, 3)
         prior_imgs.append(np.asarray(trainer.sample(state, k1, bs)))
-        codes = jax.random.randint(
-            k2, (bs, trainer.grid_hw, trainer.grid_hw), 0,
-            trainer.prior.vocab)
-        from uig.models.vqgan import VQGANGenerator
-
-        rand_imgs.append(np.asarray(trainer.vqgan.apply(
-            trainer.vqgan_params, codes,
-            method=VQGANGenerator.decode_codes).astype(jnp.float32)))
+        rand_imgs.append(np.asarray(decode_random(k2)))
 
     from uig.data.datasets import SyntheticUnpairedDataset
     from uig.kernels import center_crop_normalize

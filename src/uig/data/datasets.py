@@ -307,6 +307,11 @@ def resolve_dataset(path: str, load_size: int, source: str = "auto"):
                     "at one .npy file (source=packed), not the directory")
             else:
                 source = "folders"
+        elif os.path.exists(path):
+            raise ValueError(
+                f"dataset path {path!r} exists but has an unrecognized "
+                "format (expected an image directory, a packed .npy file, "
+                "or a .tfrecord file)")
         else:
             raise FileNotFoundError(
                 f"dataset path {path!r} does not exist (expected an image "

@@ -148,8 +148,28 @@ def compute_kid(real_batches: Iterable, fake_batches: Iterable,
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        feats = [np.concatenate(multihost_utils.process_allgather(f), 0)
-                 for f in feats]
+        gathered = []
+        for f in feats:
+            # process_allgather needs identical shapes on every process, so
+            # a host with an empty shard can't gather its ragged (0, D)
+            # block directly: gather per-host counts first, pad every block
+            # to the global max, gather, then slice each block back.
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([f.shape[0]], np.int64))).reshape(-1)
+            max_n = int(counts.max())
+            if max_n == 0:
+                gathered.append(f)  # globally empty → loud error below
+                continue
+            pad = np.zeros((max_n, f.shape[1]), f.dtype)
+            pad[: f.shape[0]] = f
+            blocks = np.asarray(multihost_utils.process_allgather(pad))
+            gathered.append(np.concatenate(
+                [blocks[i, : int(c)] for i, c in enumerate(counts)], 0))
+        feats = gathered
+    for name, f in zip(("real", "fake"), feats):
+        if f.shape[0] < 2:  # m<2 → 0/0 in the unbiased MMD estimator
+            raise ValueError(
+                f"KID needs >=2 {name} images globally, got {f.shape[0]}")
     return kid_from_features(feats[0], feats[1], **kw)
 
 

@@ -218,9 +218,11 @@ class PadConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_block: int = 0  # 0/1 = off; b>1 = space-to-depth factor
     # "fused": reflect SAME convs run as an implicit-zero-pad conv (keeps
-    # XLA's pad-into-conv fusion) + exact border-ring overwrite — reflect
-    # semantics at zero-pad cost (reflect_conv2d). "explicit": materialize
-    # the reflect pad then VALID conv (the canonical-but-slow lowering).
+    # XLA's pad-into-conv fusion) + exact additive border-ring delta —
+    # reflect semantics at zero-pad cost (reflect_conv2d; the overwrite
+    # formulation was measured and rejected, see add_reflect_ring_delta).
+    # "explicit": materialize the reflect pad then VALID conv (the
+    # canonical-but-slow lowering).
     pad_impl: str = "fused"
     # "pallas": route the two movement-bound shapes (7x7 s1 p3 and
     # 3x3 s2 p1) to uig.kernels.conv_pallas (s2d coarse-domain im2col

@@ -46,8 +46,8 @@ class ResNetGenerator(nn.Module):
     # shapes/backends where the fusion story differs.
     conv_impl: str = "xla"
     # reflect-conv lowering: "fused" = implicit-zero-pad conv + exact
-    # border-ring overwrite (reflect semantics at zero-pad fusion cost —
-    # layers.reflect_conv2d); "explicit" = materialized reflect pad.
+    # additive border-ring delta (reflect semantics at zero-pad fusion
+    # cost — layers.reflect_conv2d); "explicit" = materialized reflect pad.
     pad_impl: str = "fused"
     dtype: jnp.dtype = jnp.float32
 

@@ -108,9 +108,27 @@ pipe2.load_state_dict(data_state)
 state2, metrics2 = trainer.train_step(restored, next(pipe2))
 continued_checksum = _checksum(state2.g_params)
 
+# KID across ragged per-host shards: raw features can't process_allgather
+# directly (shapes must match), so compute_kid pads to the global max count
+# and slices back by gathered counts — including a host with ZERO rows.
+from uig.eval.fid import compute_kid
+
+rng_k = np.random.default_rng(7)
+kid_feats = {0: 24, 1: 5}[proc_id]   # ragged
+kid = compute_kid(
+    iter([rng_k.standard_normal((kid_feats, 16))]),
+    iter([rng_k.standard_normal((kid_feats, 16)) + 0.5]),
+    feature_fn=lambda x: np.asarray(x), feature_dim=16,
+    n_subsets=8, subset_size=16)[0]
+kid_empty = compute_kid(   # host 1 owns nothing at all
+    iter([rng_k.standard_normal((12, 16))] if proc_id == 0 else []),
+    iter([rng_k.standard_normal((12, 16))] if proc_id == 0 else []),
+    feature_fn=lambda x: np.asarray(x), feature_dim=16,
+    n_subsets=8, subset_size=8)[0]
+
 with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
     json.dump({"metrics": host_metrics, "checksum": checksum, "fid": fid,
-               "fid_tiny": fid_tiny,
+               "fid_tiny": fid_tiny, "kid": kid, "kid_empty": kid_empty,
                "restore_checksum": restore_checksum,
                "continued_checksum": continued_checksum,
                "continued_metrics": {k: float(v) for k, v in metrics2.items()},

@@ -60,6 +60,11 @@ def test_two_process_dp(tmp_path):
     # empty stats (no double-counting) and both hosts still agree
     assert np.isfinite(views[0]["fid_tiny"]) and views[0]["fid_tiny"] >= 0
     assert views[0]["fid_tiny"] == views[1]["fid_tiny"]
+    # KID across ragged shards (24 vs 5 features, and 12 vs 0): the padded
+    # allgather must reconstruct the global feature set identically
+    for key in ("kid", "kid_empty"):
+        assert np.isfinite(views[0][key]), key
+        assert views[0][key] == views[1][key], key
     # distributed checkpoint roundtrip: the restored state matches what was
     # saved, and one continued step stays bit-identical across hosts
     for v in views:

@@ -117,3 +117,21 @@ def test_compute_kid_stream_interface():
     mean2, _ = compute_kid(batches(0.0), batches(3.0), feature_fn,
                            n_subsets=20, subset_size=16)
     assert mean2 > mean
+
+
+def test_compute_kid_empty_stream_is_loud():
+    """A globally-empty (or single-image) stream must raise, not return the
+    silent 0/0 NaN of the unbiased MMD estimator."""
+    import jax.numpy as jnp
+    import pytest
+
+    from uig.eval.fid import compute_kid
+
+    feature_fn = jax.jit(lambda x: jnp.mean(x, axis=(1, 2)))
+    with pytest.raises(ValueError, match="empty image stream"):
+        compute_kid(iter([]), iter([]), feature_fn)
+    with pytest.raises(ValueError, match=">=2 real images"):
+        compute_kid(iter([]), iter([]), feature_fn, feature_dim=12)
+    one = jnp.zeros((1, 4, 4, 12))
+    with pytest.raises(ValueError, match=">=2"):
+        compute_kid(iter([one]), iter([one]), feature_fn, feature_dim=12)

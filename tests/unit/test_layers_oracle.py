@@ -82,13 +82,19 @@ def test_s2d_conv_matches_plain_conv():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-6)
 
 
-def test_s2d_requires_divisible_output():
-    x = jnp.zeros((1, 15, 15, 4))
+def test_s2d_non_divisible_falls_back_to_plain_conv():
+    """Round-3 behavior change: a spatial size not divisible by s2d_block
+    silently routes to the plain conv (s2d is a pure execution strategy,
+    so translate on arbitrary image sizes must still work) — and the
+    result matches s2d_block=0 exactly."""
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(1, 15, 15, 4)),
+                    jnp.float32)
     mod = PadConv(features=3, kernel=7, pad=3, s2d_block=4)
-    import pytest
-
-    with pytest.raises(ValueError, match="divisible"):
-        mod.init(jax.random.PRNGKey(0), x)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = PadConv(features=3, kernel=7, pad=3, s2d_block=0)
+    np.testing.assert_allclose(np.asarray(mod.apply(params, x)),
+                               np.asarray(ref.apply(params, x)),
+                               rtol=0, atol=1e-6)
 
 
 def test_resnet_block_identity_at_zero_weights():

@@ -56,3 +56,25 @@ def test_pack_cli_and_train_on_packed(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["final_metrics"]["g_loss"])
+
+
+def test_resolve_dataset_error_paths(tmp_path):
+    """'auto' dispatch fails loudly and accurately: .npy directories and
+    unrecognized-format files are distinguished from missing paths."""
+    import pytest
+
+    from uig.data.datasets import resolve_dataset
+
+    npy_dir = tmp_path / "shards"
+    npy_dir.mkdir()
+    (npy_dir / "part0.npy").write_bytes(b"x")
+    with pytest.raises(ValueError, match="directory of packed .npy shards"):
+        resolve_dataset(str(npy_dir), 64)
+
+    weird = tmp_path / "data.npz"
+    weird.write_bytes(b"x")
+    with pytest.raises(ValueError, match="unrecognized format"):
+        resolve_dataset(str(weird), 64)
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        resolve_dataset(str(tmp_path / "missing"), 64)
