@@ -20,6 +20,11 @@ ABLATIONS = {
     "pad_explicit": ["model.pad_impl=explicit"],
     # head_s2d=4 became the preset default in round 3 — ablate it OFF
     "head_s2d_off": ["model.head_s2d=0"],
+    "stem_s2d": ["model.stem_s2d=4"],
+    "head_s2d8": ["model.head_s2d=8"],
+    "down_s2d": ["model.down_s2d=2"],
+    "all_s2d": ["model.stem_s2d=4", "model.head_s2d=8", "model.down_s2d=2"],
+    "fused_applies": ["model.fused_applies=true"],
     "pad_zeros": ["model.padding=zeros"],
     "resize_conv": ["model.upsample=resize_conv"],
     "remat_blocks": ["model.remat=blocks"],

@@ -69,6 +69,22 @@ class ModelConfig:
     # b=4 executes the same linear map with 48 output lanes (docs/DESIGN.md
     # §5b). Exact same parameters; output differs only by fp reassociation.
     head_s2d: int = 0
+    # same trick for the c7s1-64 stem conv (cin=3 is 3/128 lane-efficient on
+    # the CONTRACTION side: k·k·cin = 147; b=4 recomputes it as one stride-4
+    # conv with contraction 10·10·3 = 300 and 1024 output lanes). 0 = off.
+    stem_s2d: int = 0
+    # and for the two stride-2 downsample convs (executed as one stride-2b
+    # conv over b² output blocks — layers.PadConv._s2d_conv generalizes to
+    # any stride). 0 = off.
+    down_s2d: int = 0
+    # batch same-params applies inside the step: the fake and identity
+    # passes share generator params (fake_b = G_a2b(real_a), idt_b =
+    # G_a2b(real_b)) and run as ONE 2B-batch apply; likewise each
+    # discriminator's real/fake pair in the D loss. InstanceNorm is
+    # per-example, so this is the same math (fp reassociation only); it
+    # halves the per-op count of those passes, amortizing per-op fixed
+    # costs (~16% of the 256² step by the B=8→16 scaling fit).
+    fused_applies: bool = False
     # VQGAN (rung 5)
     vq_embed_dim: int = 256
     vq_codebook_size: int = 1024

@@ -82,7 +82,7 @@ def _smalldata64() -> Config:
 def _cyclegan128() -> Config:
     return Config(
         model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6,
-                          head_s2d=4),
+                          head_s2d=4, fused_applies=True),
         loss=LossConfig(gan_mode="lsgan"),
         opt=OptConfig(total_steps=100_000, decay_start_step=50_000),
         data=DataConfig(load_size=143, batch_size=1, augment="pallas"),
@@ -93,7 +93,7 @@ def _cyclegan128() -> Config:
 def _cyclegan256_dp() -> Config:
     return Config(
         model=ModelConfig(kind="cyclegan", image_size=256, n_res_blocks=9,
-                          head_s2d=4),
+                          head_s2d=4, fused_applies=True),
         loss=LossConfig(gan_mode="lsgan", lambda_lpips=1.0),
         opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
         data=DataConfig(load_size=286, batch_size=8, augment="pallas"),

@@ -264,8 +264,9 @@ class PadConv(nn.Module):
             bdt = None if bias is None else bias.astype(self.dtype)
             return conv7_s2d(xdt, wdt, bdt, pad_mode=self.pad_mode)
         b = self.s2d_block
-        s2d_on = bool(b and b > 1 and self.stride == 1
-                      and x.shape[1] % b == 0 and x.shape[2] % b == 0)
+        out_h = (x.shape[1] + 2 * self.pad - k) // self.stride + 1
+        out_w = (x.shape[2] + 2 * self.pad - k) // self.stride + 1
+        s2d_on = bool(b and b > 1 and out_h % b == 0 and out_w % b == 0)
         fused_ok = (self.pad_impl == "fused" and self.pad_mode == "reflect"
                     and self.stride == 1
                     and k % 2 == 1 and self.pad == k // 2 and self.pad > 0
@@ -299,27 +300,34 @@ class PadConv(nn.Module):
     def _s2d_conv(self, x: jax.Array, w: jax.Array, b: int,
                   pad: int = 0) -> jax.Array:
         """``pad`` > 0: x is UNpadded and the zero padding is implicit in
-        the conv (the fusable form); pad == 0: x arrives pre-padded."""
+        the conv (the fusable form); pad == 0: x arrives pre-padded.
+
+        Works for any stride s: output block (di, dj) of a stride-s conv
+        starts s·di rows into the receptive field of the coarse position, so
+        the big kernel embeds W at offsets (s·di, s·dj) and the coarse conv
+        strides by s·b."""
         k, f = self.kernel, self.features
+        s = self.stride
         cin = x.shape[-1]
-        h_out = x.shape[1] + 2 * pad - k + 1
-        w_out = x.shape[2] + 2 * pad - k + 1
+        h_out = (x.shape[1] + 2 * pad - k) // s + 1
+        w_out = (x.shape[2] + 2 * pad - k) // s + 1
         if h_out % b or w_out % b:
             raise ValueError(
                 f"s2d_block={b} needs output spatial divisible by {b}, "
                 f"got {h_out}x{w_out}")
-        # big kernel: W'[di:di+k, dj:dj+k, :, slot(di,dj)*f:(slot+1)*f] = W
-        kb = k + b - 1
+        # big kernel: W'[s·di:s·di+k, s·dj:s·dj+k, :, slot(di,dj)·f:+f] = W
+        kb = k + (b - 1) * s
         wb = jnp.zeros((kb, kb, cin, b * b * f), w.dtype)
         for di in range(b):
             for dj in range(b):
-                s = (di * b + dj) * f
-                wb = wb.at[di:di + k, dj:dj + k, :, s:s + f].set(w)
+                o = (di * b + dj) * f
+                wb = wb.at[s * di:s * di + k, s * dj:s * dj + k,
+                           :, o:o + f].set(w)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wb.astype(self.dtype),
-            window_strides=(b, b), padding=((pad, pad), (pad, pad)),
+            window_strides=(s * b, s * b), padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (B, h/b, w/b, b*b*f)
+        )  # (B, h_out/b, w_out/b, b*b*f)
         # depth-to-space: slot (di, dj) -> output subpixel (di, dj)
         bsz = y.shape[0]
         y = y.reshape(bsz, h_out // b, w_out // b, b, b, f)

@@ -33,6 +33,8 @@ class ResNetGenerator(nn.Module):
     pad_mode: str = "reflect"
     upsample: str = "conv_transpose"
     head_s2d: int = 0  # space-to-depth factor for the c7s1-3 head (0 = off)
+    stem_s2d: int = 0  # same for the c7s1-64 stem conv (0 = off)
+    down_s2d: int = 0  # same for the stride-2 downsample convs (0 = off)
     # per-block jax.checkpoint (model.remat="blocks"): each residual block
     # stores only its input and recomputes internals in backward — near-full
     # trunk memory savings with many small remat regions instead of one
@@ -61,7 +63,7 @@ class ResNetGenerator(nn.Module):
         # stem: c7s1-64
         layers += [
             PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=pi,
-                    dtype=dt, impl=ci),
+                    dtype=dt, s2d_block=self.stem_s2d, impl=ci),
             InstanceNorm(dtype=dt),
             "relu",
         ]
@@ -69,7 +71,7 @@ class ResNetGenerator(nn.Module):
         for mult in (2, 4):
             layers += [
                 PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
-                        dtype=dt, impl=ci),
+                        dtype=dt, s2d_block=self.down_s2d, impl=ci),
                 InstanceNorm(dtype=dt),
                 "relu",
             ]

@@ -63,6 +63,8 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample,
             head_s2d=m.head_s2d,
+            stem_s2d=m.stem_s2d,
+            down_s2d=m.down_s2d,
             remat_blocks=self._remat == "blocks",
             conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=dt,
@@ -79,6 +81,8 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample,
             head_s2d=m.head_s2d,
+            stem_s2d=m.stem_s2d,
+            down_s2d=m.down_s2d,
             conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=jnp.dtype(m.eval_dtype),
         )
@@ -201,10 +205,25 @@ class CycleGANTrainer:
         # "blocks" granularity lives inside the generator (remat_blocks).
         g_apply = jax.checkpoint(G.apply) if self._remat == "full" else G.apply
 
+        fuse = cfg.model.fused_applies
+
         # ---------------- G update ----------------
         def g_loss_fn(g_params):
-            fake_b = g_apply(g_params["a2b"], real_a)
-            fake_a = g_apply(g_params["b2a"], real_b)
+            idt_a = idt_b = None
+            if fuse and lam_id > 0:
+                # fake and identity passes share params — run each
+                # generator ONCE at 2B (InstanceNorm is per-example, so
+                # batching is the same math; see ModelConfig.fused_applies)
+                fb, idt_b = jnp.split(
+                    g_apply(g_params["a2b"],
+                            jnp.concatenate([real_a, real_b], 0)), 2, 0)
+                fa, idt_a = jnp.split(
+                    g_apply(g_params["b2a"],
+                            jnp.concatenate([real_b, real_a], 0)), 2, 0)
+                fake_b, fake_a = fb, fa
+            else:
+                fake_b = g_apply(g_params["a2b"], real_a)
+                fake_a = g_apply(g_params["b2a"], real_b)
             rec_a = g_apply(g_params["b2a"], fake_b)
             rec_b = g_apply(g_params["a2b"], fake_a)
 
@@ -216,8 +235,9 @@ class CycleGANTrainer:
             total = adv + cyc
             idt = jnp.float32(0.0)
             if lam_id > 0:
-                idt_b = g_apply(g_params["a2b"], real_b)
-                idt_a = g_apply(g_params["b2a"], real_a)
+                if idt_b is None:
+                    idt_b = g_apply(g_params["a2b"], real_b)
+                    idt_a = g_apply(g_params["b2a"], real_a)
                 idt = lam_id * (
                     L.identity_loss(real_b, idt_b) + L.identity_loss(real_a, idt_a)
                 )
@@ -253,16 +273,26 @@ class CycleGANTrainer:
 
         # ---------------- D update ----------------
         def d_loss_fn(d_params):
-            la = L.gan_loss_d(
-                D.apply(d_params["a"], real_a),
-                D.apply(d_params["a"], d_fake_a),
-                loss_cfg.gan_mode,
-            )
-            lb = L.gan_loss_d(
-                D.apply(d_params["b"], real_b),
-                D.apply(d_params["b"], d_fake_b),
-                loss_cfg.gan_mode,
-            )
+            if fuse:
+                ra, fa = jnp.split(
+                    D.apply(d_params["a"],
+                            jnp.concatenate([real_a, d_fake_a], 0)), 2, 0)
+                rb, fb = jnp.split(
+                    D.apply(d_params["b"],
+                            jnp.concatenate([real_b, d_fake_b], 0)), 2, 0)
+                la = L.gan_loss_d(ra, fa, loss_cfg.gan_mode)
+                lb = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
+            else:
+                la = L.gan_loss_d(
+                    D.apply(d_params["a"], real_a),
+                    D.apply(d_params["a"], d_fake_a),
+                    loss_cfg.gan_mode,
+                )
+                lb = L.gan_loss_d(
+                    D.apply(d_params["b"], real_b),
+                    D.apply(d_params["b"], d_fake_b),
+                    loss_cfg.gan_mode,
+                )
             total = la + lb
             r1 = jnp.float32(0.0)
             if loss_cfg.r1_gamma > 0:

@@ -82,6 +82,20 @@ def test_s2d_conv_matches_plain_conv():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-6)
 
 
+def test_s2d_strided_conv_matches_plain_conv():
+    """The s2d execution generalizes to strided convs (the d128/d256
+    downsample shape: k3 s2 p1 zeros): the big kernel embeds W at offsets
+    (s·di, s·dj) and strides by s·b — same linear map, same params."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    plain = PadConv(features=12, kernel=3, stride=2, pad=1, pad_mode="zeros")
+    s2d = PadConv(features=12, kernel=3, stride=2, pad=1, pad_mode="zeros",
+                  s2d_block=2)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(s2d.apply(params, x)),
+                               np.asarray(plain.apply(params, x)), atol=2e-6)
+
+
 def test_s2d_non_divisible_falls_back_to_plain_conv():
     """Round-3 behavior change: a spatial size not divisible by s2d_block
     silently routes to the plain conv (s2d is a pure execution strategy,
@@ -95,6 +109,31 @@ def test_s2d_non_divisible_falls_back_to_plain_conv():
     np.testing.assert_allclose(np.asarray(mod.apply(params, x)),
                                np.asarray(ref.apply(params, x)),
                                rtol=0, atol=1e-6)
+
+
+def test_generator_stem_s2d_matches_plain():
+    """model.stem_s2d is a pure execution strategy on the c7s1-64 stem:
+    the same param tree run with stem_s2d=4 must match stem_s2d=0 up to fp
+    reassociation (grads included — it sits under value_and_grad in every
+    trainer)."""
+    from uig.models.resnet_gen import ResNetGenerator
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    plain = ResNetGenerator(n_res_blocks=1)
+    s2d = ResNetGenerator(n_res_blocks=1, stem_s2d=4, head_s2d=4)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(s2d.apply(params, x)),
+                               np.asarray(plain.apply(params, x)), atol=2e-5)
+
+    def loss(mod, p):
+        return jnp.sum(jnp.square(mod.apply(p, x)))
+
+    g0 = jax.grad(lambda p: loss(plain, p))(params)
+    g1 = jax.grad(lambda p: loss(s2d, p))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4), g0, g1)
 
 
 def test_resnet_block_identity_at_zero_weights():

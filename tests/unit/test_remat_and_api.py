@@ -45,6 +45,53 @@ def test_remat_step_matches_no_remat():
             np.testing.assert_allclose(x, y, atol=1e-6)
 
 
+def test_fused_applies_matches_separate():
+    """model.fused_applies batches same-params G/D passes at 2B — the same
+    math (InstanceNorm is per-example), so a full train step must produce
+    the same metrics and params up to conv-batch fp reassociation."""
+    from uig.config import get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.cyclegan import CycleGANTrainer
+
+    def cfg(fused):
+        c = get_preset("smoke64")
+        return dataclasses.replace(
+            c,
+            # fp32 compute + one step: in bf16, conv-batch reassociation
+            # noise gets amplified to ~lr scale by Adam's g/sqrt(v)
+            model=dataclasses.replace(c.model, image_size=16, n_res_blocks=1,
+                                      d_layers=2, fused_applies=fused,
+                                      compute_dtype="float32"),
+            data=dataclasses.replace(c.data, batch_size=2, load_size=16),
+            # sgd: adam's g/sqrt(v) turns any reassociation-level sign flip
+            # of a near-zero grad into a ±lr param difference (same choice
+            # as test_remat_step_matches_no_remat)
+            opt=dataclasses.replace(c.opt, optimizer="sgd"),
+        )
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    outs = {}
+    for fused in (False, True):
+        mesh = make_mesh(1)
+        tr = CycleGANTrainer(cfg(fused), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[fused] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_params)),
+        )
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for i in (1, 2):
+        for x, y in zip(jax.tree_util.tree_leaves(outs[False][i]),
+                        jax.tree_util.tree_leaves(outs[True][i])):
+            np.testing.assert_allclose(x, y, atol=5e-5)
+
+
 def test_swap_ema_roundtrip():
     from uig.config import get_preset
     from uig.runtime import make_mesh
