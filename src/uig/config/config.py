@@ -83,7 +83,10 @@ class ModelConfig:
     # discriminator's real/fake pair in the D loss. InstanceNorm is
     # per-example, so this is the same math (fp reassociation only); it
     # halves the per-op count of those passes, amortizing per-op fixed
-    # costs (~16% of the 256² step by the B=8→16 scaling fit).
+    # costs. Measured +2% on 256² CycleGAN (preset default there); for CUT
+    # it measured -12%: batching defeats XLA's CSE of the NCE encoder
+    # passes against the full generator applies (BASELINE.md round 3) —
+    # leave it off for CUT unless the taps/flow change.
     fused_applies: bool = False
     # VQGAN (rung 5)
     vq_embed_dim: int = 256

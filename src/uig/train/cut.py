@@ -206,16 +206,22 @@ class CUTTrainer:
             fn = jax.checkpoint(fn)
         return fn(gen_params, x)
 
-    def _nce(self, g_params, src_img, dst_img, key):
-        """PatchNCE between encoder features of src and dst images
-        (encoder-only forwards — the decoder half is skipped)."""
-        cfg = self.cfg
+    def _enc(self):
         enc = lambda p, v: self.generator.apply(
             p, v, self.taps, method=ResNetGenerator.encode_features)
         if self._remat == "full":
             enc = jax.checkpoint(enc)
-        f_src = enc(g_params["gen"], src_img)
-        f_dst = enc(g_params["gen"], dst_img)
+        return enc
+
+    def _enc_taps(self, g_params, imgs):
+        """Encoder features for several same-shape images in ONE len(imgs)·B
+        apply (they all share generator params — model.fused_applies).
+        Returns per-tap lists of per-image features."""
+        feats = self._enc()(g_params["gen"], jnp.concatenate(imgs, 0))
+        return [jnp.split(f, len(imgs), 0) for f in feats]
+
+    def _nce_from_feats(self, g_params, f_src, f_dst, key):
+        cfg = self.cfg
         total = jnp.float32(0.0)
         for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
             b, h, w, _ = fs.shape
@@ -225,6 +231,14 @@ class CUTTrainer:
             k = self.head.apply(g_params["heads"][i], _sample_patches(fs, idx))
             total = total + L.patch_nce_loss(q, k, cfg.loss.nce_temperature)
         return total / len(self.taps)
+
+    def _nce(self, g_params, src_img, dst_img, key):
+        """PatchNCE between encoder features of src and dst images
+        (encoder-only forwards — the decoder half is skipped)."""
+        enc = self._enc()
+        f_src = enc(g_params["gen"], src_img)
+        f_dst = enc(g_params["gen"], dst_img)
+        return self._nce_from_feats(g_params, f_src, f_dst, key)
 
     def _device_step(self, state: CUTState, real_a, real_b):
         cfg = self.cfg
@@ -247,16 +261,42 @@ class CUTTrainer:
             real_a = real_a.astype(dt)
             real_b = real_b.astype(dt)
 
+        fuse = cfg.model.fused_applies
+
         def g_loss_fn(g_params):
-            fake_b = self._gen_apply(g_params["gen"], real_a)
+            if fuse and loss_cfg.nce_include_identity:
+                # all same-params passes batched (model.fused_applies):
+                # fake+identity generator passes as ONE 2B apply, then the
+                # FOUR nce encoder passes as ONE 4B encoder apply
+                fake_b, idt_b = jnp.split(self._gen_apply(
+                    g_params["gen"],
+                    jnp.concatenate([real_a, real_b], 0)), 2, 0)
+                taps = self._enc_taps(
+                    g_params, [real_a, fake_b, real_b, idt_b])
+                nce = self._nce_from_feats(
+                    g_params, [t[0] for t in taps], [t[1] for t in taps],
+                    keys["nce"])
+                nce_idt = self._nce_from_feats(
+                    g_params, [t[2] for t in taps], [t[3] for t in taps],
+                    keys["nce_idt"])
+            else:
+                fake_b = self._gen_apply(g_params["gen"], real_a)
+                if fuse:
+                    taps = self._enc_taps(g_params, [real_a, fake_b])
+                    nce = self._nce_from_feats(
+                        g_params, [t[0] for t in taps], [t[1] for t in taps],
+                        keys["nce"])
+                else:
+                    nce = self._nce(g_params, real_a, fake_b, keys["nce"])
+                nce_idt = jnp.float32(0.0)
+                if loss_cfg.nce_include_identity:
+                    idt_b = self._gen_apply(g_params["gen"], real_b)
+                    nce_idt = self._nce(g_params, real_b, idt_b,
+                                        keys["nce_idt"])
             adv = L.gan_loss_g(D.apply(state.d_params, fake_b),
                                loss_cfg.gan_mode)
-            nce = self._nce(g_params, real_a, fake_b, keys["nce"])
             total = adv + loss_cfg.lambda_nce * nce
-            nce_idt = jnp.float32(0.0)
             if loss_cfg.nce_include_identity:
-                idt_b = self._gen_apply(g_params["gen"], real_b)
-                nce_idt = self._nce(g_params, real_b, idt_b, keys["nce_idt"])
                 total = total + loss_cfg.lambda_nce * nce_idt
             return total, {"fake_b": fake_b, "g_adv": adv, "nce": nce,
                            "nce_idt": nce_idt}
@@ -272,9 +312,14 @@ class CUTTrainer:
                                            keys["pool"])
 
         def d_loss_fn(d_params):
-            total = L.gan_loss_d(
-                D.apply(d_params, real_b), D.apply(d_params, d_fake_b),
-                loss_cfg.gan_mode)
+            if fuse:
+                rb, fb = jnp.split(D.apply(
+                    d_params, jnp.concatenate([real_b, d_fake_b], 0)), 2, 0)
+                total = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
+            else:
+                total = L.gan_loss_d(
+                    D.apply(d_params, real_b), D.apply(d_params, d_fake_b),
+                    loss_cfg.gan_mode)
             if loss_cfg.r1_gamma > 0:
                 total = total + loss_cfg.r1_gamma * L.r1_penalty(
                     D.apply, d_params, real_b)

@@ -247,6 +247,13 @@ class VQGANTrainer:
         fake = jax.lax.stop_gradient(aux["recon"])
 
         def d_loss_fn(d_params):
+            if cfg.model.fused_applies:
+                # real/fake share D params: ONE 2B apply (same math — see
+                # ModelConfig.fused_applies; equivalence tested for the
+                # CycleGAN/CUT trainers which share this structure)
+                r, f = jnp.split(self.discriminator.apply(
+                    d_params, jnp.concatenate([x, fake], 0)), 2, 0)
+                return L.gan_loss_d(r, f, loss_cfg.gan_mode), {}
             return L.gan_loss_d(
                 self.discriminator.apply(d_params, x),
                 self.discriminator.apply(d_params, fake),

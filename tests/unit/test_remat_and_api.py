@@ -92,6 +92,47 @@ def test_fused_applies_matches_separate():
             np.testing.assert_allclose(x, y, atol=5e-5)
 
 
+def test_cut_fused_applies_matches_separate():
+    """CUT under model.fused_applies: fake+idt as one 2B apply and the four
+    NCE encoder passes as one 4B apply — same math, same patch ids (the
+    nce/nce_idt keys are untouched)."""
+    from uig.config import apply_overrides, get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.cut import CUTTrainer
+
+    def cfg(fused):
+        c = get_preset("cut256_multihost")
+        return apply_overrides(c, [
+            "model.image_size=16", "model.n_res_blocks=1", "model.d_layers=2",
+            "model.nce_layers=(0,3)", "model.nce_patches=16",
+            "model.compute_dtype=float32", f"model.fused_applies={fused}",
+            "data.batch_size=2", "data.load_size=16", "opt.optimizer=sgd",
+            "parallel.multihost=false",
+        ])
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    outs = {}
+    for fused in (False, True):
+        mesh = make_mesh(1)
+        tr = CUTTrainer(cfg(fused), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[fused] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_params)),
+        )
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for i in (1, 2):
+        for x, y in zip(jax.tree_util.tree_leaves(outs[False][i]),
+                        jax.tree_util.tree_leaves(outs[True][i])):
+            np.testing.assert_allclose(x, y, atol=5e-5)
+
+
 def test_swap_ema_roundtrip():
     from uig.config import get_preset
     from uig.runtime import make_mesh
