@@ -22,7 +22,7 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    kind: str = "cyclegan"  # cyclegan | cut | vqgan | vaegan | vqgan_prior
+    kind: str = "cyclegan"  # cyclegan | cut | unit | vqgan | vaegan | vqgan_prior
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
     out_channels: int = 3
@@ -104,6 +104,12 @@ class ModelConfig:
     # finished stage-1 vqgan run dir whose frozen EMA params the prior
     # trains against (required for kind="vqgan_prior" outside tests)
     prior_vqgan_run: str = ""
+    # UNIT (shared-latent VAE pair — models/unit.py): residual blocks that
+    # are private per domain vs SHARED between the two encoders/decoders
+    # (the shared-latent-space assumption). Latent = 4·g_base_features
+    # channels at quarter resolution; posterior is N(mu, I).
+    unit_private_res: int = 2
+    unit_shared_res: int = 2
     # CUT (rung 4)
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256
@@ -119,6 +125,10 @@ class LossConfig:
     lambda_nce: float = 1.0  # CUT
     nce_temperature: float = 0.07
     nce_include_identity: bool = True  # CUT: NCE on idt pass (Y->Y)
+    # UNIT: weight on all four KL(N(mu,I)‖N(0,I)) terms (canonical config
+    # value 0.01); the recon/cycle L1 weights reuse lambda_cycle (=10 in
+    # the canonical UNIT recipe for both)
+    lambda_unit_kl: float = 0.01
     lambda_vq_adv: float = 1.0  # VQGAN generator adversarial weight
     vq_disc_start: int = 0  # step at which D loss turns on (VQGAN warmup)
     # canonical VQGAN adaptive adversarial weight: scale lambda_vq_adv by

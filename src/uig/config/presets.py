@@ -115,6 +115,41 @@ def _cut256_multihost() -> Config:
     )
 
 
+def _discogan64() -> Config:
+    # DiscoGAN (Kim et al. 2017) is architecturally the CycleGAN topology
+    # with the original (vanilla/BCE) GAN loss and NO identity term — it
+    # maps onto CycleGANTrainer directly; this preset encodes the canonical
+    # DiscoGAN recipe (64², vanilla GAN, recon weight folded into
+    # lambda_cycle, Adam 2e-4/(0.5, 0.999)). Completes the SURVEY §0
+    # lineage "CycleGAN / CUT / UNIT / DiscoGAN".
+    return Config(
+        model=ModelConfig(kind="cyclegan", image_size=64, n_res_blocks=6,
+                          d_layers=3),
+        loss=LossConfig(gan_mode="vanilla", lambda_cycle=10.0,
+                        lambda_identity=0.0),
+        opt=OptConfig(total_steps=100_000, decay_start_step=50_000),
+        data=DataConfig(load_size=72, batch_size=8, augment="pallas"),
+        run=RunConfig(name="discogan64"),
+    )
+
+
+def _unit256() -> Config:
+    # rung-4 family sibling: shared-latent UNIT (the remaining member of
+    # the SURVEY §0 lineage "CycleGAN / CUT / UNIT / DiscoGAN"). Canonical
+    # UNIT weights: recon = cycle = 10 (lambda_cycle), KL = 0.01, LSGAN,
+    # Adam lr 1e-4 / (0.5, 0.999).
+    return Config(
+        model=ModelConfig(kind="unit", image_size=256,
+                          unit_private_res=2, unit_shared_res=2),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
+                        lambda_unit_kl=0.01),
+        opt=OptConfig(lr=1e-4, total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="unit256"),
+    )
+
+
 def _vaegan256() -> Config:
     # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
     return Config(
@@ -162,6 +197,8 @@ PRESETS = {
     "cyclegan128": _cyclegan128,
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
+    "unit256": _unit256,
+    "discogan64": _discogan64,
     "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,
 }

@@ -41,6 +41,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.cut import CUTTrainer
 
         return CUTTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "unit":
+        from uig.train.unit_trainer import UNITTrainer
+
+        return UNITTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "vqgan":
         from uig.train.vqgan_trainer import VQGANTrainer
 

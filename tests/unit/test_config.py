@@ -31,6 +31,6 @@ def test_override_unknown_field_raises():
 
 def test_presets_exist():
     for name in ("smoke64", "cyclegan128", "cyclegan256_dp",
-                 "cut256_multihost", "vqgan512"):
+                 "cut256_multihost", "unit256", "discogan64", "vqgan512"):
         cfg = get_preset(name)
         assert cfg.model.image_size in (64, 128, 256, 512)
