@@ -204,6 +204,12 @@ class RunConfig:
     ckpt_every: int = 1000
     ckpt_keep: int = 3
     seed: int = 0
+    # scan k train steps inside ONE jitted dispatch (train/multi_step.py):
+    # identical math to k separate dispatches; removes per-step host launch
+    # overhead, which dominates at small resolutions (64² rungs) where the
+    # device step is a few ms. Every host-visible cadence (log/ckpt/fid/
+    # sample/profile) must be a multiple of k (validated loudly). 1 = off.
+    steps_per_dispatch: int = 1
     profile_steps: tuple[int, int] = (0, 0)  # (start, stop); equal = disabled
     tensorboard: bool = False
     # sanitizer-equivalents (SURVEY.md §5 "race detection"): no native code,

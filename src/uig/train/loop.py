@@ -70,6 +70,14 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
         jax.config.update("jax_check_tracer_leaks", True)
     mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
     trainer = build_trainer(cfg, mesh)
+    k = cfg.run.steps_per_dispatch
+    multi_step = None
+    if k > 1:
+        from uig.train.multi_step import (build_multi_step,
+                                          validate_dispatch_alignment)
+
+        validate_dispatch_alignment(cfg)
+        multi_step = build_multi_step(trainer, k)
 
     workdir = os.path.join(cfg.run.workdir, cfg.run.name)
     os.makedirs(workdir, exist_ok=True)
@@ -108,12 +116,23 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
             if prof_stop > prof_start and step == prof_start and not profiling:
                 jax.profiler.start_trace(os.path.join(workdir, "profile"))
                 profiling = True
-            timer.data_start()
-            batch = next(pipe)
-            timer.data_stop()
-            state, metrics = trainer.train_step(state, batch)
-            step += 1
-            timer.step_done(cfg.data.batch_size)
+            if multi_step is not None and step % k == 0 and step + k <= total:
+                # k steps in one dispatch (run.steps_per_dispatch); cadences
+                # are validated multiples of k, and a mid-chunk resume point
+                # (preemption save) falls back to single steps until aligned
+                timer.data_start()
+                batches = [next(pipe) for _ in range(k)]
+                timer.data_stop()
+                state, metrics = multi_step(state, batches)
+                step += k
+                timer.step_done(cfg.data.batch_size * k)
+            else:
+                timer.data_start()
+                batch = next(pipe)
+                timer.data_stop()
+                state, metrics = trainer.train_step(state, batch)
+                step += 1
+                timer.step_done(cfg.data.batch_size)
             if profiling and step >= prof_stop:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

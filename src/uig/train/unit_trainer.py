@@ -192,15 +192,27 @@ class UNITTrainer:
         # one eps key per sampling site, fixed for the whole step
         eps_keys = jax.random.split(keys["eps"], 4)
 
+        fuse = cfg.model.fused_applies
+
         def g_loss_fn(g_params):
             mu_a = enc(g_params, real_a, "a")
             mu_b = enc(g_params, real_b, "b")
             z_a = mu_a + jax.random.normal(eps_keys[0], mu_a.shape, jnp.float32)
             z_b = mu_b + jax.random.normal(eps_keys[1], mu_b.shape, jnp.float32)
-            recon_a = dec(g_params, z_a, "a")
-            recon_b = dec(g_params, z_b, "b")
-            x_ab = dec(g_params, z_a, "b")
-            x_ba = dec(g_params, z_b, "a")
+            if fuse:
+                # each private decoder serves TWO latents per step (its
+                # domain's reconstruction + the cross-domain translation) —
+                # same params, so run each decoder ONCE at 2B (InstanceNorm
+                # is per-example; same math up to conv-batch reassociation)
+                recon_a, x_ba = jnp.split(dec(
+                    g_params, jnp.concatenate([z_a, z_b], 0), "a"), 2, 0)
+                recon_b, x_ab = jnp.split(dec(
+                    g_params, jnp.concatenate([z_b, z_a], 0), "b"), 2, 0)
+            else:
+                recon_a = dec(g_params, z_a, "a")
+                recon_b = dec(g_params, z_b, "b")
+                x_ab = dec(g_params, z_a, "b")
+                x_ba = dec(g_params, z_b, "a")
             # cycle: re-encode the translation, sample, decode back
             mu_ab = enc(g_params, x_ab, "b")
             mu_ba = enc(g_params, x_ba, "a")

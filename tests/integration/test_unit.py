@@ -125,3 +125,81 @@ def test_unit_via_build_trainer_and_overrides():
                                  "loss.lambda_unit_kl=0.1"])
     assert cfg2.model.unit_shared_res == 3
     assert cfg2.loss.lambda_unit_kl == 0.1
+
+
+def test_unit_fused_applies_matches_separate():
+    """model.fused_applies batches each private decoder's two latents
+    (reconstruction + cross-domain translation) at 2B, and each D's
+    real/fake pair — same math (InstanceNorm is per-example), so a full
+    train step must match up to conv-batch fp reassociation."""
+    import dataclasses as dc
+
+    from uig.data.datasets import SyntheticUnpairedDataset
+
+    def cfg(fused):
+        c = _cfg(2)
+        return dc.replace(
+            c,
+            model=dc.replace(c.model, fused_applies=fused),
+            # sgd: adam's g/sqrt(v) amplifies reassociation-level grad noise
+            opt=dc.replace(c.opt, optimizer="sgd"),
+        )
+
+    syn = SyntheticUnpairedDataset(4, 36, 0)
+    a = np.stack([syn.domain_a[0], syn.domain_a[1]])
+    b = np.stack([syn.domain_b[0], syn.domain_b[1]])
+    outs = {}
+    for fused in (False, True):
+        mesh = make_mesh(1)
+        tr = UNITTrainer(cfg(fused), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[fused] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+        )
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for x, y in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_allclose(x, y, atol=5e-5)
+
+
+def test_unit_cli_train_ckpt_translate(tmp_path):
+    """Full UNIT production path: CLI train (fit -> orbax ckpt with the
+    UNITState structure) -> translate CLI restores the run and serves BOTH
+    directions from EMA weights."""
+    import json
+    import os
+
+    from uig.cli.main import main
+    from uig.data.datasets import SyntheticUnpairedDataset
+
+    syn = SyntheticUnpairedDataset(n=6, load_size=20, seed=0)
+    dir_a, dir_b = syn.write_png_dirs(str(tmp_path / "data"))
+    run_dir = os.path.join(tmp_path, "unitrun")
+
+    rc = main([
+        "train", "--preset", "unit256", "--max-steps", "3",
+        "--set", "model.image_size=16", "--set", "model.g_base_features=8",
+        "--set", "model.unit_private_res=1", "--set", "model.unit_shared_res=1",
+        "--set", "model.d_layers=2", "--set", "data.batch_size=2",
+        "--set", "data.load_size=20", "--set", "data.source=folders",
+        "--set", f"data.dir_a={dir_a}", "--set", f"data.dir_b={dir_b}",
+        "--set", "data.num_workers=1", "--set", "parallel.num_devices=2",
+        "--set", "parallel.multihost=False",
+        "--set", f"run.workdir={tmp_path}", "--set", "run.name=unitrun",
+        "--set", "run.ckpt_every=2", "--set", "run.log_every=2",
+        "--set", "eval.sample_grid_every=0",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+    for direction in ("a2b", "b2a"):
+        out_dir = os.path.join(tmp_path, f"translated_{direction}")
+        rc = main(["translate", "--run-dir", run_dir, "--input-dir", dir_a,
+                   "--output-dir", out_dir, "--direction", direction,
+                   "--batch-size", "3"])
+        assert rc == 0
+        assert len(os.listdir(out_dir)) == 6
