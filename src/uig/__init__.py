@@ -5,8 +5,11 @@ EleutherAI/Unpaired-Image-Generation (reference is an empty stub —
 ``/root/reference/README.md:1`` is its only line; the capability spec is
 derived in SURVEY.md from the unpaired-translation domain + BASELINE.json):
 
+* five model families: CycleGAN (+DiscoGAN preset), CUT, UNIT (shared-latent
+  VAE pair), VAE-GAN, two-stage VQGAN (autoencoder + autoregressive prior)
 * ResNet-block generators + PatchGAN discriminators (flax, NHWC, bf16 compute)
-* adversarial (LSGAN/vanilla/hinge) + cycle + identity + LPIPS + PatchNCE losses
+* adversarial (LSGAN/vanilla/hinge) + cycle + identity + KL + LPIPS +
+  PatchNCE losses
 * alternating G/D Adam steps compiled into a single XLA program per train step
 * on-device fused augmentation (random-crop / flip / normalize) as Pallas and
   XLA kernels so the TPU never stalls on host preprocessing

@@ -143,6 +143,7 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
                     jax.device_count(), 1
                 )
                 host_m["input_stall_pct"] = timer.stall_pct
+                host_m.update(_hbm_stats())
                 writer.write(step, host_m)
                 timer.reset()
             if (cfg.eval.fid_every and step % cfg.eval.fid_every == 0
@@ -173,6 +174,24 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
     return {k: float(v) for k, v in metrics.items()} if metrics else {}
+
+
+def _hbm_stats() -> dict:
+    """Device-memory observability: HBM in use / peak on local device 0,
+    logged at each metrics boundary. Gated — some backends (CPU, the axon
+    tunnel) return None from memory_stats(); they just get no HBM keys."""
+    try:
+        s = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return {}
+    if not s:
+        return {}
+    out = {}
+    if "bytes_in_use" in s:
+        out["hbm_gb_in_use"] = s["bytes_in_use"] / 2**30
+    if "peak_bytes_in_use" in s:
+        out["hbm_gb_peak"] = s["peak_bytes_in_use"] / 2**30
+    return out
 
 
 def _local_ema(state):

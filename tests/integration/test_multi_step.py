@@ -107,3 +107,54 @@ def test_fit_with_steps_per_dispatch(tmp_path):
     steps = [r["step"] for r in lines if "g_loss" in r]
     assert steps == [2, 4, 6], steps
     assert os.path.isdir(os.path.join(tmp_path, "msrun", "ckpt"))
+
+
+def test_multi_step_prior_trainer():
+    """The VQGAN-prior trainer threads frozen stage-1 params as an extra
+    replicated argument — build_multi_step must pass it through."""
+    import jax.numpy as jnp
+
+    from uig.models.vqgan import VQGANGenerator
+    from uig.train.prior_trainer import PriorTrainer
+
+    cfg = apply_overrides(get_preset("smoke64"), [
+        "model.kind=vqgan_prior", "model.image_size=16",
+        "model.vq_channel_mults=(1,2)", "model.vq_base_features=16",
+        "model.vq_embed_dim=16", "model.vq_codebook_size=64",
+        "model.vq_attn_resolutions=(8,)", "model.attn_impl=xla",
+        "model.prior_dim=64", "model.prior_depth=1", "model.prior_heads=4",
+        "model.compute_dtype=float32",
+        "data.batch_size=2", "data.load_size=20",
+        "opt.optimizer=sgd",
+    ])
+    vq = VQGANGenerator(base_features=16, channel_mults=(1, 2), embed_dim=16,
+                        codebook_size=64, attn_resolutions=(8,),
+                        attn_impl="xla")
+    vq_params = vq.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3), jnp.float32))
+    mesh = make_mesh(2)
+    tr = PriorTrainer(cfg, mesh, vqgan_params=vq_params)
+
+    rng = np.random.default_rng(1)
+    batches = [
+        shard_batch(mesh, (rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8),
+                           rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)))
+        for _ in range(2)
+    ]
+    state = tr.init_state(jax.random.PRNGKey(0))
+    for bt in batches:
+        state, m1 = tr.train_step(state, bt)
+    p1 = jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
+
+    step_k = build_multi_step(tr, 2)
+    state2 = tr.init_state(jax.random.PRNGKey(0))
+    state2, m2 = step_k(state2, batches)
+    p2 = jax.tree_util.tree_map(np.asarray, jax.device_get(state2.params))
+
+    assert int(state2.step) == 2
+    for k_ in {k: float(v) for k, v in m1.items()}:
+        np.testing.assert_allclose(float(m1[k_]), float(m2[k_]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k_)
+    for x, y in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)

@@ -50,3 +50,15 @@ def test_metrics_contains_throughput_and_stall(tmp_path):
     for l in lines:
         assert "images_per_sec_chip" in l and "input_stall_pct" in l
         assert 0 <= l["input_stall_pct"] <= 100
+
+
+def test_hbm_stats_gated():
+    """_hbm_stats returns {} on backends without memory_stats (CPU/tunnel)
+    and only GB-scaled keys when the backend provides them."""
+    from uig.train.loop import _hbm_stats
+
+    out = _hbm_stats()
+    assert isinstance(out, dict)
+    for k, v in out.items():
+        assert k in ("hbm_gb_in_use", "hbm_gb_peak")
+        assert v >= 0
