@@ -39,6 +39,9 @@ class _PrivateEncoder(nn.Module):
     norm: str = "instance"
     pad_mode: str = "reflect"
     pad_impl: str = "fused"
+    conv_impl: str = "xla"
+    stem_s2d: int = 0  # space-to-depth factor for the c7s1 stem (0 = off)
+    down_s2d: int = 0  # same for the stride-2 downsample convs
     remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -47,17 +50,22 @@ class _PrivateEncoder(nn.Module):
         f, dt = self.base_features, self.dtype
         block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=self.pad_impl,
-                    dtype=dt)(x)
+                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.relu(x)
         for mult in (2, 4):
             x = PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
-                        dtype=dt)(x)
+                        dtype=dt, s2d_block=self.down_s2d,
+                        impl=self.conv_impl)(x)
             x = InstanceNorm(dtype=dt)(x)
             x = nn.relu(x)
-        for _ in range(self.n_res):
+        for i in range(self.n_res):
+            # explicit name: nn.remat renames the class (CheckpointResnetBlock)
+            # which would change the param path — and hence the init stream and
+            # checkpoint layout — between remat modes
             x = block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode,
-                          pad_impl=self.pad_impl, dtype=dt)(x)
+                          pad_impl=self.pad_impl, dtype=dt,
+                          name=f"ResnetBlock_{i}")(x)
         return x
 
 
@@ -71,6 +79,8 @@ class _PrivateDecoder(nn.Module):
     norm: str = "instance"
     pad_mode: str = "reflect"
     pad_impl: str = "fused"
+    conv_impl: str = "xla"
+    head_s2d: int = 0  # space-to-depth factor for the c7s1-out head (0 = off)
     upsample: str = "conv_transpose"
     remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -79,15 +89,18 @@ class _PrivateDecoder(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         f, dt = self.base_features, self.dtype
         block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
-        for _ in range(self.n_res):
+        for i in range(self.n_res):
+            # explicit name: keep param paths identical across remat modes
             x = block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode,
-                          pad_impl=self.pad_impl, dtype=dt)(x)
+                          pad_impl=self.pad_impl, dtype=dt,
+                          name=f"ResnetBlock_{i}")(x)
         for mult in (2, 1):
             x = UpsampleConv(f * mult, method=self.upsample, dtype=dt)(x)
             x = InstanceNorm(dtype=dt)(x)
             x = nn.relu(x)
         x = PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
-                    pad_impl=self.pad_impl, dtype=dt)(x)
+                    pad_impl=self.pad_impl, dtype=dt,
+                    s2d_block=self.head_s2d, impl=self.conv_impl)(x)
         return jnp.tanh(x)
 
 
@@ -111,6 +124,10 @@ class UNITGenerator(nn.Module):
     norm: str = "instance"
     pad_mode: str = "reflect"
     pad_impl: str = "fused"
+    conv_impl: str = "xla"
+    stem_s2d: int = 0
+    down_s2d: int = 0
+    head_s2d: int = 0
     upsample: str = "conv_transpose"
     remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -118,15 +135,20 @@ class UNITGenerator(nn.Module):
     def setup(self):
         kw = dict(base_features=self.base_features, norm=self.norm,
                   pad_mode=self.pad_mode, pad_impl=self.pad_impl,
+                  conv_impl=self.conv_impl,
                   remat_blocks=self.remat_blocks, dtype=self.dtype)
-        self.enc_a = _PrivateEncoder(n_res=self.n_private_res, **kw)
-        self.enc_b = _PrivateEncoder(n_res=self.n_private_res, **kw)
+        self.enc_a = _PrivateEncoder(n_res=self.n_private_res,
+                                     stem_s2d=self.stem_s2d,
+                                     down_s2d=self.down_s2d, **kw)
+        self.enc_b = _PrivateEncoder(n_res=self.n_private_res,
+                                     stem_s2d=self.stem_s2d,
+                                     down_s2d=self.down_s2d, **kw)
         self.dec_a = _PrivateDecoder(
             n_res=self.n_private_res, out_channels=self.out_channels,
-            upsample=self.upsample, **kw)
+            upsample=self.upsample, head_s2d=self.head_s2d, **kw)
         self.dec_b = _PrivateDecoder(
             n_res=self.n_private_res, out_channels=self.out_channels,
-            upsample=self.upsample, **kw)
+            upsample=self.upsample, head_s2d=self.head_s2d, **kw)
         block_cls = (nn.remat(ResnetBlock) if self.remat_blocks
                      else ResnetBlock)
         blk = dict(norm=self.norm, pad_mode=self.pad_mode,

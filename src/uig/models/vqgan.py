@@ -85,8 +85,21 @@ class VQGANEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
-        RB = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
-        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+        # explicit names matching flax auto-naming: nn.remat renames the class
+        # (CheckpointVQResBlock) which would silently change param paths — and
+        # so the init stream and checkpoint layout — between remat modes
+        ctr = {"rb": 0, "ab": 0}
+        RB_ = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
+        AB_ = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+
+        def RB(f, dt):
+            ctr["rb"] += 1
+            return RB_(f, dt, name=f"VQResBlock_{ctr['rb'] - 1}")
+
+        def AB(impl, dt):
+            ctr["ab"] += 1
+            return AB_(impl, dt, name=f"AttnBlock_{ctr['ab'] - 1}")
+
         x = x.astype(dt)
         h = nn.Conv(self.base_features, (3, 3), dtype=dt,
                     param_dtype=jnp.float32)(x)
@@ -120,8 +133,19 @@ class VQGANDecoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         dt = self.dtype
-        RB = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
-        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+        # explicit names across remat modes — same rationale as the encoder
+        ctr = {"rb": 0, "ab": 0}
+        RB_ = nn.remat(VQResBlock) if self.remat_blocks else VQResBlock
+        AB_ = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+
+        def RB(f, dt):
+            ctr["rb"] += 1
+            return RB_(f, dt, name=f"VQResBlock_{ctr['rb'] - 1}")
+
+        def AB(impl, dt):
+            ctr["ab"] += 1
+            return AB_(impl, dt, name=f"AttnBlock_{ctr['ab'] - 1}")
+
         z = z.astype(dt)
         f = self.base_features * self.channel_mults[-1]
         h = nn.Conv(f, (3, 3), dtype=dt, param_dtype=jnp.float32)(z)

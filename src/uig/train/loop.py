@@ -45,6 +45,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.unit_trainer import UNITTrainer
 
         return UNITTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "munit":
+        from uig.train.munit_trainer import MUNITTrainer
+
+        return MUNITTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "vqgan":
         from uig.train.vqgan_trainer import VQGANTrainer
 
@@ -110,29 +114,34 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     last_fid = None
     prof_start, prof_stop = cfg.run.profile_steps
     profiling = False
+    single_warned = False
     try:
         step = int(jax.device_get(state.step))
         while step < total and not stop["flag"]:
             if prof_stop > prof_start and step == prof_start and not profiling:
                 jax.profiler.start_trace(os.path.join(workdir, "profile"))
                 profiling = True
-            if multi_step is not None and step % k == 0 and step + k <= total:
-                # k steps in one dispatch (run.steps_per_dispatch); cadences
-                # are validated multiples of k, and a mid-chunk resume point
-                # (preemption save) falls back to single steps until aligned
-                timer.data_start()
-                batches = [next(pipe) for _ in range(k)]
-                timer.data_stop()
-                state, metrics = multi_step(state, batches)
-                step += k
-                timer.step_done(cfg.data.batch_size * k)
+            # chunk = k steps in one dispatch (run.steps_per_dispatch) when
+            # aligned; 1 otherwise (unaligned preemption-resume point or
+            # tail). Cadences are validated multiples of k.
+            chunk = (k if multi_step is not None and step % k == 0
+                     and step + k <= total else 1)
+            if multi_step is not None and chunk == 1 and not single_warned:
+                # the single-step fallback compiles a SECOND full XLA
+                # program — loud so the (rare) cost is attributable
+                print("uig: steps_per_dispatch falling back to single-step "
+                      f"dispatch at step {step} (unaligned resume point or "
+                      "tail); this compiles the single-step program once.")
+                single_warned = True
+            timer.data_start()
+            batches = [next(pipe) for _ in range(chunk)]
+            timer.data_stop()
+            if chunk == 1:
+                state, metrics = trainer.train_step(state, batches[0])
             else:
-                timer.data_start()
-                batch = next(pipe)
-                timer.data_stop()
-                state, metrics = trainer.train_step(state, batch)
-                step += 1
-                timer.step_done(cfg.data.batch_size)
+                state, metrics = multi_step(state, batches)
+            step += chunk
+            timer.step_done(cfg.data.batch_size * chunk)
             if profiling and step >= prof_stop:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

@@ -86,6 +86,10 @@ class UNITTrainer:
             norm=m.norm,
             pad_mode=m.padding,
             pad_impl=m.pad_impl,
+            conv_impl=m.conv_impl,
+            stem_s2d=m.stem_s2d,
+            down_s2d=m.down_s2d,
+            head_s2d=m.head_s2d,
             upsample=m.upsample,
         )
         self.generator = UNITGenerator(
@@ -180,14 +184,24 @@ class UNITTrainer:
         lam_rec = loss_cfg.lambda_cycle      # within-domain VAE recon weight
         lam_cc = loss_cfg.lambda_cycle       # cycle-consistency recon weight
         lam_kl = loss_cfg.lambda_unit_kl     # all four KL terms
-        g_apply = (jax.checkpoint(G.apply) if self._remat == "full"
-                   else G.apply)
+
+        # remat="full": jax.checkpoint must see array-only positional args,
+        # so close over the static domain/method instead of passing them
+        # through (the CUT trainer's _gen_apply pattern, cut.py)
+        def _mk(dom, method):
+            def f(p, x):
+                return G.apply(p, x, dom, method=method)
+
+            return jax.checkpoint(f) if self._remat == "full" else f
+
+        enc_fns = {d: _mk(d, UNITGenerator.encode) for d in ("a", "b")}
+        dec_fns = {d: _mk(d, UNITGenerator.decode) for d in ("a", "b")}
 
         def enc(p, x, dom):
-            return g_apply(p, x, dom, method=UNITGenerator.encode)
+            return enc_fns[dom](p, x)
 
         def dec(p, z, dom):
-            return g_apply(p, z, dom, method=UNITGenerator.decode)
+            return dec_fns[dom](p, z)
 
         # one eps key per sampling site, fixed for the whole step
         eps_keys = jax.random.split(keys["eps"], 4)

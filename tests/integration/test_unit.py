@@ -203,3 +203,50 @@ def test_unit_cli_train_ckpt_translate(tmp_path):
                    "--batch-size", "3"])
         assert rc == 0
         assert len(os.listdir(out_dir)) == 6
+
+
+def test_unit_remat_modes_run_and_match():
+    """model.remat=full/blocks must compile (jax.checkpoint sees array-only
+    args — the code-review regression) and match remat=none math (sgd)."""
+    import dataclasses as dc
+
+    from uig.data.datasets import SyntheticUnpairedDataset
+
+    syn = SyntheticUnpairedDataset(4, 36, 0)
+    a = np.stack([syn.domain_a[0], syn.domain_a[1]])
+    b = np.stack([syn.domain_b[0], syn.domain_b[1]])
+    outs = {}
+    for mode in ("none", "full", "blocks"):
+        c = _cfg(2)
+        c = dc.replace(c, model=dc.replace(c.model, remat=mode),
+                       opt=dc.replace(c.opt, optimizer="sgd"))
+        mesh = make_mesh(1)
+        tr = UNITTrainer(c, mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[mode] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)))
+        assert all(np.isfinite(v) for v in outs[mode][0].values()), mode
+    for mode in ("full", "blocks"):
+        for k_ in outs["none"][0]:
+            np.testing.assert_allclose(outs["none"][0][k_], outs[mode][0][k_],
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{mode}:{k_}")
+        for x, y in zip(jax.tree_util.tree_leaves(outs["none"][1]),
+                        jax.tree_util.tree_leaves(outs[mode][1])):
+            np.testing.assert_allclose(x, y, atol=5e-5)
+
+
+def test_unit_s2d_knobs_are_wired_and_param_compatible():
+    """head/stem/down s2d execute the same linear maps with the same params
+    (checkpoint-compatible, fp reassociation only) — and actually apply."""
+    kw = dict(base_features=8, n_private_res=1, n_shared_res=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    base = UNITGenerator(**kw)
+    params = base.init(jax.random.PRNGKey(0), x, x)
+    y0 = base.apply(params, x, "a", "b", method=UNITGenerator.translate)
+    s2d = UNITGenerator(stem_s2d=4, down_s2d=2, head_s2d=4, **kw)
+    y1 = s2d.apply(params, x, "a", "b", method=UNITGenerator.translate)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)

@@ -133,6 +133,52 @@ def test_cut_fused_applies_matches_separate():
             np.testing.assert_allclose(x, y, atol=5e-5)
 
 
+def test_remat_blocks_param_paths_invariant():
+    """nn.remat renames wrapped module classes (CheckpointFoo); every model
+    must pin explicit block names so toggling model.remat never changes the
+    param tree — i.e. checkpoints stay loadable and init streams identical."""
+    import jax.tree_util as tu
+
+    from uig.models.resnet_gen import ResNetGenerator
+    from uig.models.unit import UNITGenerator
+    from uig.models.vqgan import VQGANDecoder, VQGANEncoder
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 8))
+    cases = [
+        (ResNetGenerator(base_features=8, n_res_blocks=1),
+         ResNetGenerator(base_features=8, n_res_blocks=1, remat_blocks=True),
+         (x,)),
+        (UNITGenerator(base_features=8, n_private_res=1, n_shared_res=1),
+         UNITGenerator(base_features=8, n_private_res=1, n_shared_res=1,
+                       remat_blocks=True),
+         (x, x)),
+        (VQGANEncoder(base_features=8, channel_mults=(1, 2),
+                      attn_resolutions=(16,), attn_impl="xla", embed_dim=8),
+         VQGANEncoder(base_features=8, channel_mults=(1, 2),
+                      attn_resolutions=(16,), attn_impl="xla", embed_dim=8,
+                      remat_blocks=True),
+         (x,)),
+        (VQGANDecoder(base_features=8, channel_mults=(1, 2),
+                      attn_resolutions=(16,), attn_impl="xla"),
+         VQGANDecoder(base_features=8, channel_mults=(1, 2),
+                      attn_resolutions=(16,), attn_impl="xla",
+                      remat_blocks=True),
+         (z,)),
+    ]
+    for m0, m1, args in cases:
+        p0 = m0.init(jax.random.PRNGKey(0), *args)
+        p1 = m1.init(jax.random.PRNGKey(0), *args)
+        f0 = tu.tree_flatten_with_path(p0)[0]
+        f1 = tu.tree_flatten_with_path(p1)[0]
+        name = type(m0).__name__
+        assert ([tu.keystr(p) for p, _ in f0]
+                == [tu.keystr(p) for p, _ in f1]), name
+        for (_, a), (_, b) in zip(f0, f1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
 def test_swap_ema_roundtrip():
     from uig.config import get_preset
     from uig.runtime import make_mesh
