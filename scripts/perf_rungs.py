@@ -23,6 +23,7 @@ RUNGS = {
     "cyclegan256": ("cyclegan256_dp", [], 16),
     "cut256": ("cut256_multihost", ["parallel.multihost=False"], 16),
     "unit256": ("unit256", [], 16),
+    "munit256": ("munit256", ["parallel.multihost=False"], 16),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),

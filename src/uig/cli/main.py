@@ -39,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=8)
     tr.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default latest)")
+    tr.add_argument("--style-seed", type=int, default=None,
+                    help="multimodal (kind=munit) runs: sample ONE N(0,I) "
+                         "style code from this seed for all images; vary it "
+                         "for a different output mode")
+    tr.add_argument("--style-ref", default=None,
+                    help="multimodal (kind=munit) runs: path to a TARGET-"
+                         "domain reference image whose style guides the "
+                         "translation")
     tr.add_argument("--source", default="auto",
                     choices=["auto", "folders", "packed", "tfrecord"],
                     help="input format (auto-detected by default)")
@@ -96,7 +104,8 @@ def main(argv=None) -> int:
         n = run_translate(args.run_dir, args.input_dir, args.output_dir,
                           direction=args.direction, batch_size=args.batch_size,
                           step=args.step, overrides=args.overrides,
-                          source=args.source)
+                          source=args.source, style_seed=args.style_seed,
+                          style_ref=args.style_ref)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
         return 0
     if args.cmd == "pack":

@@ -40,10 +40,18 @@ def load_run(run_dir: str, step: int | None = None, overrides=()):
 def run_translate(run_dir: str, input_dir: str, output_dir: str,
                   direction: str = "a2b", batch_size: int = 8,
                   step: int | None = None, overrides=(),
-                  source: str = "auto") -> int:
+                  source: str = "auto", style_seed: int | None = None,
+                  style_ref: str | None = None) -> int:
     """``input_dir`` may be an image folder, a packed ``.npy``, or a
     tfrecord file/dir — every trainable source is servable (resolved by
-    uig.data.datasets.resolve_dataset)."""
+    uig.data.datasets.resolve_dataset).
+
+    Multimodal runs (kind=munit): ``style_seed`` samples ONE target-domain
+    style code from N(0, I) applied to every image (vary the seed for a
+    different output mode); ``style_ref`` extracts the style from a
+    reference image of the TARGET domain instead (style-guided
+    translation). Default (both None) is the zero style code — the prior
+    mode, deterministic without flags."""
     from PIL import Image
 
     from uig.data.datasets import item_names, resolve_dataset
@@ -53,6 +61,27 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
     ds = resolve_dataset(input_dir, cfg.data.load_size, source)
     names = item_names(ds)
     os.makedirs(output_dir, exist_ok=True)
+
+    style = None
+    if style_seed is not None or style_ref:
+        import jax.numpy as jnp
+
+        if not hasattr(trainer, "encode_style"):
+            raise ValueError(
+                "--style-seed/--style-ref apply only to multimodal "
+                f"(kind=munit) runs; this run is kind={cfg.model.kind!r}")
+        if style_ref:
+            img = Image.open(style_ref).convert("RGB")
+            s = cfg.data.load_size
+            img = img.resize((s, s), Image.BILINEAR)
+            x_ref = center_crop_normalize(
+                jnp.asarray(np.asarray(img)[None]), cfg.model.image_size)
+            style = trainer.encode_style(state.ema, x_ref,
+                                         domain=direction[-1])
+        else:
+            style = jax.random.normal(
+                jax.random.PRNGKey(style_seed), (1, trainer.style_dim))
+        style = jnp.repeat(style, batch_size, 0)
 
     n = len(ds)
     done = 0
@@ -66,7 +95,9 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         import jax.numpy as jnp
 
         x = center_crop_normalize(jnp.asarray(raw), cfg.model.image_size)
-        y = trainer.translate(state.ema, x, direction)
+        y = (trainer.translate(state.ema, x, direction, style=style)
+             if style is not None
+             else trainer.translate(state.ema, x, direction))
         out = np.asarray(denormalize_to_u8(y))[: len(idxs)]
         for i, img in zip(idxs, out):
             Image.fromarray(img).save(

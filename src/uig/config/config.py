@@ -22,7 +22,8 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    kind: str = "cyclegan"  # cyclegan | cut | unit | vqgan | vaegan | vqgan_prior
+    # cyclegan | cut | unit | munit | vqgan | vaegan | vqgan_prior
+    kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
     out_channels: int = 3
@@ -110,6 +111,19 @@ class ModelConfig:
     # channels at quarter resolution; posterior is N(mu, I).
     unit_private_res: int = 2
     unit_shared_res: int = 2
+    # MUNIT (content/style decomposition — models/munit.py): style vector
+    # dim (canonical 8), residual blocks in the content encoder = AdaIN
+    # blocks in the decoder, and the style-MLP hidden width.
+    munit_style_dim: int = 8
+    munit_content_res: int = 4
+    munit_mlp_dim: int = 256
+    # multi-scale PatchGAN (models/patch_disc.py MultiScaleDiscriminator):
+    # number of avg-pool pyramid scales D judges (1 = the plain single-scale
+    # PatchGAN; MUNIT's canonical config uses 3). Honored by the MUNIT
+    # trainer; d_norm picks the per-scale norm ("none" is MUNIT-canonical,
+    # the normalization-free D).
+    d_num_scales: int = 3
+    d_norm: str = "none"
     # CUT (rung 4)
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256
@@ -129,6 +143,13 @@ class LossConfig:
     # value 0.01); the recon/cycle L1 weights reuse lambda_cycle (=10 in
     # the canonical UNIT recipe for both)
     lambda_unit_kl: float = 0.01
+    # MUNIT latent-reconstruction weights (image recon reuses lambda_cycle,
+    # =10 in the canonical config): content recon L1(c, E_dst(x_cross)),
+    # style recon L1(s~N(0,I), S_dst(x_cross)), and the optional explicit
+    # cycle x -> cross -> back (0 in the canonical edges/faces configs).
+    lambda_munit_c: float = 1.0
+    lambda_munit_s: float = 1.0
+    lambda_munit_cyc: float = 0.0
     lambda_vq_adv: float = 1.0  # VQGAN generator adversarial weight
     vq_disc_start: int = 0  # step at which D loss turns on (VQGAN warmup)
     # canonical VQGAN adaptive adversarial weight: scale lambda_vq_adv by

@@ -150,6 +150,26 @@ def _unit256() -> Config:
     )
 
 
+def _munit256() -> Config:
+    # multimodal extension of the lineage (MUNIT, Huang et al. 2018):
+    # content/style decomposition, AdaIN decoder, 3-scale unnormalized
+    # PatchGAN. Canonical config: style_dim 8, 4 content res blocks,
+    # recon λ_x=10 / λ_c=λ_s=1 / cycle 0, LSGAN, Adam 1e-4 (0.5, 0.999).
+    return Config(
+        model=ModelConfig(kind="munit", image_size=256,
+                          munit_style_dim=8, munit_content_res=4,
+                          munit_mlp_dim=256, d_num_scales=3, d_norm="none",
+                          d_layers=4),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
+                        lambda_munit_c=1.0, lambda_munit_s=1.0,
+                        lambda_munit_cyc=0.0),
+        opt=OptConfig(lr=1e-4, total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="munit256"),
+    )
+
+
 def _vaegan256() -> Config:
     # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
     return Config(
@@ -198,6 +218,7 @@ PRESETS = {
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
     "unit256": _unit256,
+    "munit256": _munit256,
     "discogan64": _discogan64,
     "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,

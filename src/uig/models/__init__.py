@@ -1,5 +1,6 @@
 from uig.models.layers import InstanceNorm, PadConv, ResnetBlock
-from uig.models.patch_disc import PatchDiscriminator
+from uig.models.munit import MUNITGenerator
+from uig.models.patch_disc import MultiScaleDiscriminator, PatchDiscriminator
 from uig.models.resnet_gen import ResNetGenerator
 from uig.models.unit import UNITGenerator
 
@@ -9,5 +10,7 @@ __all__ = [
     "ResnetBlock",
     "ResNetGenerator",
     "PatchDiscriminator",
+    "MultiScaleDiscriminator",
     "UNITGenerator",
+    "MUNITGenerator",
 ]

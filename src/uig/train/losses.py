@@ -21,8 +21,14 @@ def _f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32)
 
 
-def gan_loss_g(fake_logits: jax.Array, mode: str = "lsgan") -> jax.Array:
-    """Generator-side adversarial loss: make D(fake) read as real."""
+def gan_loss_g(fake_logits, mode: str = "lsgan") -> jax.Array:
+    """Generator-side adversarial loss: make D(fake) read as real.
+
+    Accepts one logit map or a tuple/list of maps (multi-scale PatchGAN —
+    models/patch_disc.py MultiScaleDiscriminator); multi-scale losses SUM
+    over scales, the canonical MUNIT/pix2pixHD weighting."""
+    if isinstance(fake_logits, (tuple, list)):
+        return sum(gan_loss_g(f, mode) for f in fake_logits)
     y = _f32(fake_logits)
     if mode == "lsgan":
         return jnp.mean(jnp.square(y - 1.0))
@@ -33,10 +39,16 @@ def gan_loss_g(fake_logits: jax.Array, mode: str = "lsgan") -> jax.Array:
     raise ValueError(f"unknown gan mode {mode!r}")
 
 
-def gan_loss_d(real_logits: jax.Array, fake_logits: jax.Array,
+def gan_loss_d(real_logits, fake_logits,
                mode: str = "lsgan") -> jax.Array:
     """Discriminator adversarial loss, already 0.5-weighted as in the
-    canonical CycleGAN recipe (D steps at half the G adversarial scale)."""
+    canonical CycleGAN recipe (D steps at half the G adversarial scale).
+
+    Accepts single logit maps or same-length tuples of maps (multi-scale
+    PatchGAN; summed over scales)."""
+    if isinstance(real_logits, (tuple, list)):
+        return sum(gan_loss_d(r, f, mode)
+                   for r, f in zip(real_logits, fake_logits))
     r, f = _f32(real_logits), _f32(fake_logits)
     if mode == "lsgan":
         return 0.5 * (jnp.mean(jnp.square(r - 1.0)) + jnp.mean(jnp.square(f)))
@@ -91,7 +103,10 @@ def r1_penalty(d_apply, d_params, real: "jax.Array") -> "jax.Array":
     al. 2018) — the standard GAN regularizer that keeps D from overpowering
     G on small datasets. Caller scales by loss.r1_gamma."""
     def scalar_d(x):
-        return jnp.sum(_f32(d_apply(d_params, x)))
+        out = d_apply(d_params, x)
+        if isinstance(out, (tuple, list)):  # multi-scale D: sum over scales
+            return sum(jnp.sum(_f32(o)) for o in out)
+        return jnp.sum(_f32(out))
 
     g = jax.grad(scalar_d)(_f32(real))
     return 0.5 * jnp.mean(jnp.sum(jnp.square(_f32(g)), axis=(1, 2, 3)))
