@@ -9,9 +9,14 @@ import numpy as np
 
 def run_eval_fid(run_dir: str, direction: str = "a2b",
                  num_samples: int | None = None, step: int | None = None,
-                 batch_size: int = 16, overrides=(), kid: bool = False):
+                 batch_size: int = 16, overrides=(), kid: bool = False,
+                 target_domain: int | None = None):
     """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
-    small-sample metric (polynomial-kernel MMD over the same features)."""
+    small-sample metric (polynomial-kernel MMD over the same features).
+
+    Multi-domain runs (kind=stargan): reals are the ``target_domain``
+    (default 0) eval images; fakes are every OTHER domain's eval images
+    translated into it (round-robin). ``direction`` is ignored."""
     import jax.numpy as jnp
 
     from uig.cli.translate import load_run
@@ -20,23 +25,50 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
     from uig.kernels import center_crop_normalize
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
-    ds_a, ds_b = eval_datasets(cfg)
-    src, tgt = (ds_a, ds_b) if direction == "a2b" else (ds_b, ds_a)
-
-    n = num_samples or cfg.eval.fid_num_samples
-    n = min(n, len(src), len(tgt))
     crop = cfg.model.image_size
+    if cfg.model.kind == "stargan":
+        from uig.data import multidomain_eval_datasets
 
-    def real_batches():
-        for s in range(0, n, batch_size):
-            raw = np.stack([tgt[i] for i in range(s, min(s + batch_size, n))])
-            yield center_crop_normalize(jnp.asarray(raw), crop)
+        domains = multidomain_eval_datasets(cfg)
+        t = target_domain or 0
+        tgt = domains[t]
+        sources = [d for i, d in enumerate(domains) if i != t]
+        n = num_samples or cfg.eval.fid_num_samples
+        n = min(n, *[len(d) for d in domains])
+        direction = f"->domain{t}"
 
-    def fake_batches():
-        for s in range(0, n, batch_size):
-            raw = np.stack([src[i] for i in range(s, min(s + batch_size, n))])
-            x = center_crop_normalize(jnp.asarray(raw), crop)
-            yield trainer.translate(state.ema, x, direction)
+        def real_batches():
+            for s in range(0, n, batch_size):
+                raw = np.stack(
+                    [tgt[i] for i in range(s, min(s + batch_size, n))])
+                yield center_crop_normalize(jnp.asarray(raw), crop)
+
+        def fake_batches():
+            for s in range(0, n, batch_size):
+                raw = np.stack(
+                    [sources[i % len(sources)][i]
+                     for i in range(s, min(s + batch_size, n))])
+                x = center_crop_normalize(jnp.asarray(raw), crop)
+                yield trainer.translate(state.ema, x, t)
+    else:
+        ds_a, ds_b = eval_datasets(cfg)
+        src, tgt = (ds_a, ds_b) if direction == "a2b" else (ds_b, ds_a)
+
+        n = num_samples or cfg.eval.fid_num_samples
+        n = min(n, len(src), len(tgt))
+
+        def real_batches():
+            for s in range(0, n, batch_size):
+                raw = np.stack(
+                    [tgt[i] for i in range(s, min(s + batch_size, n))])
+                yield center_crop_normalize(jnp.asarray(raw), crop)
+
+        def fake_batches():
+            for s in range(0, n, batch_size):
+                raw = np.stack(
+                    [src[i] for i in range(s, min(s + batch_size, n))])
+                x = center_crop_normalize(jnp.asarray(raw), crop)
+                yield trainer.translate(state.ema, x, direction)
 
     feature_fn, name = make_feature_fn(cfg)
     if kid:

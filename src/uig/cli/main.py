@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="multimodal (kind=munit) runs: path to a TARGET-"
                          "domain reference image whose style guides the "
                          "translation")
+    tr.add_argument("--target-domain", type=int, default=None,
+                    help="multi-domain (kind=stargan) runs: integer domain "
+                         "to translate INTO (default 0); --direction is "
+                         "ignored for stargan")
     tr.add_argument("--source", default="auto",
                     choices=["auto", "folders", "packed", "tfrecord"],
                     help="input format (auto-detected by default)")
@@ -59,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--step", type=int, default=None)
     ev.add_argument("--kid", action="store_true",
                     help="report KID (unbiased small-sample metric) instead")
+    ev.add_argument("--target-domain", type=int, default=None,
+                    help="multi-domain (kind=stargan) runs: domain whose "
+                         "reals anchor the metric (default 0)")
     _add_common(ev)
 
     pk = sub.add_parser(
@@ -105,7 +112,8 @@ def main(argv=None) -> int:
                           direction=args.direction, batch_size=args.batch_size,
                           step=args.step, overrides=args.overrides,
                           source=args.source, style_seed=args.style_seed,
-                          style_ref=args.style_ref)
+                          style_ref=args.style_ref,
+                          target_domain=args.target_domain)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
         return 0
     if args.cmd == "pack":
@@ -127,7 +135,8 @@ def main(argv=None) -> int:
 
         res = run_eval_fid(args.run_dir, direction=args.direction,
                            num_samples=args.num_samples, step=args.step,
-                           overrides=args.overrides, kid=args.kid)
+                           overrides=args.overrides, kid=args.kid,
+                           target_domain=args.target_domain)
         if args.kid:
             print(json.dumps({"kid": res[0], "kid_std": res[1]}))
         else:

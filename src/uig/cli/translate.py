@@ -41,7 +41,8 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
                   direction: str = "a2b", batch_size: int = 8,
                   step: int | None = None, overrides=(),
                   source: str = "auto", style_seed: int | None = None,
-                  style_ref: str | None = None) -> int:
+                  style_ref: str | None = None,
+                  target_domain: int | None = None) -> int:
     """``input_dir`` may be an image folder, a packed ``.npy``, or a
     tfrecord file/dir — every trainable source is servable (resolved by
     uig.data.datasets.resolve_dataset).
@@ -51,13 +52,21 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
     different output mode); ``style_ref`` extracts the style from a
     reference image of the TARGET domain instead (style-guided
     translation). Default (both None) is the zero style code — the prior
-    mode, deterministic without flags."""
+    mode, deterministic without flags.
+
+    Multi-domain runs (kind=stargan): ``target_domain`` picks the integer
+    domain translated INTO (default 0); ``direction`` is ignored."""
     from PIL import Image
 
     from uig.data.datasets import item_names, resolve_dataset
     from uig.kernels import center_crop_normalize, denormalize_to_u8
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
+    stargan = cfg.model.kind == "stargan"
+    if target_domain is not None and not stargan:
+        raise ValueError(
+            "--target-domain applies only to multi-domain (kind=stargan) "
+            f"runs; this run is kind={cfg.model.kind!r}")
     ds = resolve_dataset(input_dir, cfg.data.load_size, source)
     names = item_names(ds)
     os.makedirs(output_dir, exist_ok=True)
@@ -95,9 +104,12 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         import jax.numpy as jnp
 
         x = center_crop_normalize(jnp.asarray(raw), cfg.model.image_size)
-        y = (trainer.translate(state.ema, x, direction, style=style)
-             if style is not None
-             else trainer.translate(state.ema, x, direction))
+        if stargan:
+            y = trainer.translate(state.ema, x, target_domain or 0)
+        elif style is not None:
+            y = trainer.translate(state.ema, x, direction, style=style)
+        else:
+            y = trainer.translate(state.ema, x, direction)
         out = np.asarray(denormalize_to_u8(y))[: len(idxs)]
         for i, img in zip(idxs, out):
             Image.fromarray(img).save(

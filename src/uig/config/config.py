@@ -22,7 +22,7 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | unit | munit | vqgan | vaegan | vqgan_prior
+    # cyclegan | cut | unit | munit | stargan | vqgan | vaegan | vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
@@ -124,6 +124,13 @@ class ModelConfig:
     # the normalization-free D).
     d_num_scales: int = 3
     d_norm: str = "none"
+    # StarGAN (multi-domain translation — models/stargan.py): ONE generator
+    # conditioned on a target-domain one-hot (spatially broadcast, concat to
+    # the input), ONE discriminator with a real/fake patch head plus an
+    # auxiliary domain classifier. num_domains also sizes the multi-domain
+    # input pipeline (data.domain_dirs for folders; synthetic provides
+    # procedural domains).
+    num_domains: int = 3
     # CUT (rung 4)
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256
@@ -132,7 +139,7 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class LossConfig:
-    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge
+    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge | wgan
     lambda_cycle: float = 10.0
     lambda_identity: float = 0.5  # multiplied by lambda_cycle (CycleGAN recipe)
     lambda_lpips: float = 0.0
@@ -156,6 +163,12 @@ class LossConfig:
     # ||grad_last(L_rec)|| / ||grad_last(L_adv)|| (Esser et al. 2021), the
     # known-fragile-but-standard stabilizer for 512² VQGAN training
     vq_adaptive_weight: bool = False
+    # StarGAN: auxiliary domain-classification weight (λ_cls, canonical 1)
+    # and WGAN-GP gradient-penalty weight (λ_gp, canonical 10; active with
+    # gan_mode="wgan"). The cycle-reconstruction weight reuses lambda_cycle
+    # (canonical λ_rec = 10, same value).
+    lambda_cls: float = 1.0
+    lambda_gp: float = 10.0
     # R1 gradient penalty on D at real inputs (γ/2·E‖∇ₓD(x)‖²); 0 disables.
     # The D-regularization knob for small-data runs where D overpowers G
     # (round-1 5000-step finding: d_loss→0.04 and FID drifts back up).
@@ -179,6 +192,11 @@ class OptConfig:
     # D learning rate = lr * d_lr_ratio (TTUR-style knob; <1 weakens D on
     # small datasets)
     d_lr_ratio: float = 1.0
+    # critic steps per generator step (canonical WGAN-GP/StarGAN: 5). The
+    # trainer updates D every step and gates the G/EMA update on
+    # step % d_steps_per_g == d_steps_per_g - 1 via lax.cond, so the whole
+    # schedule stays ONE compiled XLA program. 1 = classic alternating.
+    d_steps_per_g: int = 1
 
 
 @dataclass(frozen=True)
@@ -186,6 +204,9 @@ class DataConfig:
     source: str = "synthetic"  # synthetic | folders
     dir_a: str = ""
     dir_b: str = ""
+    # StarGAN multi-domain sources: one image folder per domain (must match
+    # model.num_domains); empty = synthetic procedural domains
+    domain_dirs: tuple[str, ...] = ()
     load_size: int = 286  # host resize target; device crops to image_size
     batch_size: int = 1  # GLOBAL batch size (sharded over the data axis)
     shuffle_seed: int = 0
@@ -315,8 +336,19 @@ def _coerce(old: Any, raw: str) -> Any:
         return float(raw)
     if isinstance(old, tuple):
         parts = [p for p in raw.strip("()[] ").split(",") if p != ""]
-        elem = old[0] if old else 0
-        return tuple(type(elem)(p) for p in parts)
+        if old:
+            elem_t = type(old[0])
+        else:
+            # empty default carries no element type (e.g. data.domain_dirs);
+            # infer per-part: int if it parses, else float, else string
+            def elem_t(p):
+                for t in (int, float):
+                    try:
+                        return t(p)
+                    except ValueError:
+                        pass
+                return p
+        return tuple(elem_t(p) for p in parts)
     return raw
 
 

@@ -170,6 +170,24 @@ def _munit256() -> Config:
     )
 
 
+def _stargan128() -> Config:
+    # multi-domain extension of the lineage (StarGAN, Choi et al. 2018):
+    # one G(x, target_label) + one D with an auxiliary domain classifier.
+    # Canonical CelebA recipe: 128², 6 res blocks, 6-layer D, WGAN-GP
+    # (λ_gp=10), λ_cls=1, λ_rec=10, Adam 1e-4 (0.5, 0.999), n_critic=5.
+    return Config(
+        model=ModelConfig(kind="stargan", image_size=128, num_domains=3,
+                          n_res_blocks=6, d_layers=6),
+        loss=LossConfig(gan_mode="wgan", lambda_cycle=10.0, lambda_cls=1.0,
+                        lambda_gp=10.0, lambda_identity=0.0),
+        opt=OptConfig(lr=1e-4, total_steps=200_000, decay_start_step=100_000,
+                      d_steps_per_g=5),
+        data=DataConfig(load_size=143, batch_size=12, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="stargan128"),
+    )
+
+
 def _vaegan256() -> Config:
     # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
     return Config(
@@ -219,6 +237,7 @@ PRESETS = {
     "cut256_multihost": _cut256_multihost,
     "unit256": _unit256,
     "munit256": _munit256,
+    "stargan128": _stargan128,
     "discogan64": _discogan64,
     "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,

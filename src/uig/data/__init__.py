@@ -21,6 +21,21 @@ def eval_datasets(cfg):
     return syn.domain_a, syn.domain_b
 
 
+def multidomain_eval_datasets(cfg):
+    """One index-addressable dataset per domain for StarGAN eval paths
+    (sample grids, FID) — same source resolution as the train pipeline."""
+    d = cfg.data
+    if d.source == "synthetic":
+        from uig.data.datasets import SyntheticMultiDomainDataset
+
+        return SyntheticMultiDomainDataset(
+            cfg.model.num_domains, d.synthetic_len, d.load_size,
+            d.shuffle_seed).domains
+    from uig.data.datasets import resolve_dataset
+
+    return [resolve_dataset(p, d.load_size) for p in d.domain_dirs]
+
+
 __all__ = [
     "FolderDataset",
     "PackedDataset",

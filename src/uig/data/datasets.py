@@ -257,6 +257,25 @@ class _SyntheticDomain:
             wave = 0.5 + 0.5 * np.sin(2 * np.pi * freq * t + phase)
             base = rng.uniform(0.1, 0.9, 3)
             img = wave[..., None] * base + (1 - wave[..., None]) * (1 - base)
+        elif self.kind == "checker":
+            # axis-aligned checkerboard, random cell count/offset/palette —
+            # visually distinct from both stripe waves and blobs
+            cells = rng.integers(3, 9)
+            oy, ox = rng.uniform(0, 1, 2)
+            board = ((np.floor((yy + oy) * cells) + np.floor((xx + ox) * cells))
+                     % 2).astype(np.float32)
+            c0 = rng.uniform(0.05, 0.45, 3)
+            c1 = rng.uniform(0.55, 0.95, 3)
+            img = board[..., None] * c1 + (1 - board[..., None]) * c0
+        elif self.kind == "rings":
+            # concentric rings around a random center
+            cy, cx = rng.uniform(0.25, 0.75, 2)
+            freq = rng.uniform(4, 12)
+            phase = rng.uniform(0, 2 * np.pi)
+            rr = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            wave = 0.5 + 0.5 * np.cos(2 * np.pi * freq * rr + phase)
+            base = rng.uniform(0.1, 0.9, 3)
+            img = wave[..., None] * base + (1 - wave[..., None]) * (1 - base)
         else:
             raise ValueError(self.kind)
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
@@ -281,6 +300,40 @@ class SyntheticUnpairedDataset:
                 Image.fromarray(dom[i]).save(os.path.join(d, f"{i:05d}.png"))
             dirs.append(d)
         return dirs[0], dirs[1]
+
+
+class SyntheticMultiDomainDataset:
+    """N unpaired procedural domains for the StarGAN (multi-domain) family.
+
+    Domains cycle through four visually distinct pattern families (blobs,
+    stripes, checker, rings); beyond four, the seed offset makes further
+    domains distinct streams of the same families."""
+
+    KINDS = ("blobs", "stripes", "checker", "rings")
+
+    def __init__(self, num_domains: int, n: int = 200, load_size: int = 72,
+                 seed: int = 0):
+        if num_domains < 2:
+            raise ValueError(
+                f"multi-domain dataset needs >= 2 domains, got {num_domains}")
+        self.domains = [
+            _SyntheticDomain(self.KINDS[d % len(self.KINDS)], n, load_size,
+                             seed + d)
+            for d in range(num_domains)
+        ]
+
+    def write_png_dirs(self, root: str) -> list[str]:
+        """Materialize every domain as a PNG tree (tests the folder path)."""
+        from PIL import Image
+
+        dirs = []
+        for d, dom in enumerate(self.domains):
+            out = os.path.join(root, f"domain{d}")
+            os.makedirs(out, exist_ok=True)
+            for i in range(len(dom)):
+                Image.fromarray(dom[i]).save(os.path.join(out, f"{i:05d}.png"))
+            dirs.append(out)
+        return dirs
 
 
 def resolve_dataset(path: str, load_size: int, source: str = "auto"):

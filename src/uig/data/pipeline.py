@@ -79,12 +79,17 @@ class UnpairedPipeline:
     ):
         self.a = dataset_a
         self.b = dataset_b
+        # generic N-domain form (MultiDomainPipeline reuses everything via
+        # these lists; the two-domain API keeps .a/.b and stream seeds)
+        self.datasets = [dataset_a, dataset_b]
+        self.streams = [
+            _DomainStream(len(dataset_a), seed, host_index, host_count),
+            _DomainStream(len(dataset_b), seed + 0x9E3779B9,
+                          host_index, host_count),
+        ]
         self.batch = batch_size_local
         self.mesh = mesh
-        self.stream_a = _DomainStream(len(dataset_a), seed, host_index, host_count)
-        self.stream_b = _DomainStream(
-            len(dataset_b), seed + 0x9E3779B9, host_index, host_count
-        )
+        self.stream_a, self.stream_b = self.streams
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self._t_next = 0  # next batch counter the producer will build
@@ -101,36 +106,43 @@ class UnpairedPipeline:
             self._sharding = batch_sharding(mesh)
 
     # ---------------- host production ----------------
-    def _load_batch(self, t: int) -> tuple[np.ndarray, np.ndarray]:
-        ia = self.stream_a.indices_at(t * self.batch, self.batch)
-        ib = self.stream_b.indices_at(t * self.batch, self.batch)
+    def _load_domain(self, ds, stream: _DomainStream, start: int,
+                     k: int) -> np.ndarray:
+        """Decode k images of one domain starting at stream position start."""
+        idx = stream.indices_at(start, k)
         # datasets with a batch decode (native C++ pool, GIL-free) get the
         # whole index list; otherwise fan out over python worker threads
-        if hasattr(self.a, "get_batch"):
-            return (self.a.get_batch(ia, self.num_workers),
-                    self.b.get_batch(ib, self.num_workers))
-        if self.num_workers > 1 and self.batch > 1:
+        if hasattr(ds, "get_batch"):
+            return ds.get_batch(idx, self.num_workers)
+        if self.num_workers > 1 and k > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             if self._pool is None:
                 self._pool = ThreadPoolExecutor(self.num_workers)
-            imgs_a = list(self._pool.map(self.a.__getitem__, ia))
-            imgs_b = list(self._pool.map(self.b.__getitem__, ib))
-        else:
-            imgs_a = [self.a[i] for i in ia]
-            imgs_b = [self.b[i] for i in ib]
-        return np.stack(imgs_a), np.stack(imgs_b)
+            return np.stack(list(self._pool.map(ds.__getitem__, idx)))
+        return np.stack([ds[i] for i in idx])
 
-    def _put_device(self, pair):
+    def _load_batch(self, t: int) -> tuple[np.ndarray, np.ndarray]:
+        return tuple(
+            self._load_domain(ds, st, t * self.batch, self.batch)
+            for ds, st in zip(self.datasets, self.streams)
+        )
+
+    def _put_device(self, batch):
         if self.mesh is None:
-            return pair
+            return batch
         import jax
 
+        one = not isinstance(batch, tuple)
+        if one:
+            batch = (batch,)
         if jax.process_count() > 1:
             from uig.runtime.mesh import shard_batch
 
-            return shard_batch(self.mesh, pair)
-        return tuple(jax.device_put(x, self._sharding) for x in pair)
+            batch = shard_batch(self.mesh, batch)
+        else:
+            batch = tuple(jax.device_put(x, self._sharding) for x in batch)
+        return batch[0] if one else batch
 
     def _producer(self) -> None:
         try:
@@ -201,13 +213,67 @@ class UnpairedPipeline:
             self.start()
 
 
+class MultiDomainPipeline(UnpairedPipeline):
+    """N-domain pipeline for the StarGAN family: yields ONE uint8
+    (B, load, load, C) array per step whose examples cycle through the
+    domains — position i holds a domain-(i % N) image.
+
+    Because the layout repeats every N examples, domain labels never travel
+    over the tunnel: as long as the per-DEVICE batch is a multiple of N
+    (the trainer validates this), every device shard sees the same static
+    label pattern tile([0..N-1]) and reconstructs it in-graph.
+
+    Inherits the producer thread, bounded device-put prefetch queue, and the
+    one-integer iterator checkpoint from UnpairedPipeline (the batch stream
+    stays a pure function of (seed, batch_counter))."""
+
+    def __init__(self, datasets, batch_size_local: int, mesh=None,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 host_index: int = 0, host_count: int = 1):
+        if len(datasets) < 2:
+            raise ValueError(
+                f"multi-domain pipeline needs >= 2 domains, got {len(datasets)}")
+        if batch_size_local % len(datasets):
+            raise ValueError(
+                f"per-host batch {batch_size_local} must be a multiple of "
+                f"the domain count {len(datasets)} (the batch interleaves "
+                "domains round-robin)")
+        super().__init__(datasets[0], datasets[1], batch_size_local,
+                         mesh=mesh, seed=seed, num_workers=num_workers,
+                         prefetch=prefetch, host_index=host_index,
+                         host_count=host_count)
+        # rebuild the stream list for N domains with decorrelated seeds
+        self.datasets = list(datasets)
+        self.streams = [
+            _DomainStream(len(ds), seed + d * 0x9E3779B9,
+                          host_index, host_count)
+            for d, ds in enumerate(datasets)
+        ]
+
+    def _load_batch(self, t: int) -> np.ndarray:
+        n = len(self.datasets)
+        k = self.batch // n
+        per = [self._load_domain(ds, st, t * k, k)
+               for ds, st in zip(self.datasets, self.streams)]
+        # interleave: out[i] = domain (i % n), sample (i // n)
+        out = np.empty((self.batch,) + per[0].shape[1:], per[0].dtype)
+        for d, arr in enumerate(per):
+            out[d::n] = arr
+        return out
+
+
 def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
-    """Build the pipeline from a Config (SURVEY.md §3 stack 1 entry)."""
+    """Build the pipeline from a Config (SURVEY.md §3 stack 1 entry).
+
+    model.kind="stargan" gets the N-domain interleaved pipeline
+    (MultiDomainPipeline); every other trainer gets the two-domain one."""
     import jax
 
     from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
 
     d = cfg.data
+    if getattr(cfg.model, "kind", "") == "stargan":
+        return _make_multidomain(cfg, mesh, start)
     if d.source == "synthetic":
         syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
         ds_a, ds_b = syn.domain_a, syn.domain_b
@@ -236,6 +302,44 @@ def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
     pipe = UnpairedPipeline(
         ds_a,
         ds_b,
+        local_batch,
+        mesh=mesh,
+        seed=d.shuffle_seed,
+        num_workers=d.num_workers,
+        prefetch=d.prefetch,
+        host_index=jax.process_index(),
+        host_count=host_count,
+    )
+    return pipe.start() if start else pipe
+
+
+def _make_multidomain(cfg, mesh, start: bool) -> MultiDomainPipeline:
+    import jax
+
+    from uig.data.datasets import SyntheticMultiDomainDataset, resolve_dataset
+
+    d = cfg.data
+    n_dom = cfg.model.num_domains
+    if d.source == "synthetic":
+        datasets = SyntheticMultiDomainDataset(
+            n_dom, d.synthetic_len, d.load_size, d.shuffle_seed).domains
+    else:
+        if len(d.domain_dirs) != n_dom:
+            raise ValueError(
+                f"model.num_domains={n_dom} but data.domain_dirs has "
+                f"{len(d.domain_dirs)} entries — one path per domain is "
+                "required for non-synthetic multi-domain training")
+        datasets = [resolve_dataset(p, d.load_size, source=d.source
+                                    if d.source != "folders" else "auto")
+                    for p in d.domain_dirs]
+
+    host_count = jax.process_count()
+    local_batch = d.batch_size // host_count
+    if local_batch * host_count != d.batch_size:
+        raise ValueError(
+            f"global batch {d.batch_size} not divisible by {host_count} hosts")
+    pipe = MultiDomainPipeline(
+        datasets,
         local_batch,
         mesh=mesh,
         seed=d.shuffle_seed,

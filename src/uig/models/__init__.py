@@ -2,6 +2,7 @@ from uig.models.layers import InstanceNorm, PadConv, ResnetBlock
 from uig.models.munit import MUNITGenerator
 from uig.models.patch_disc import MultiScaleDiscriminator, PatchDiscriminator
 from uig.models.resnet_gen import ResNetGenerator
+from uig.models.stargan import StarGANDiscriminator, StarGANGenerator
 from uig.models.unit import UNITGenerator
 
 __all__ = [
@@ -13,4 +14,6 @@ __all__ = [
     "MultiScaleDiscriminator",
     "UNITGenerator",
     "MUNITGenerator",
+    "StarGANGenerator",
+    "StarGANDiscriminator",
 ]

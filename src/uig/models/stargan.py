@@ -1,0 +1,148 @@
+"""StarGAN — multi-domain unpaired image translation with ONE generator.
+
+SURVEY.md §0 pins the problem domain (the unpaired-translation lineage; the
+reference repo is an empty stub — /root/reference/README.md:1). StarGAN
+(Choi et al. 2018) generalizes the family from two domains to N: a single
+generator G(x, c) maps an image to any target domain c, and a single
+discriminator judges real/fake AND classifies the domain (auxiliary
+classifier). Training: adversarial (canonical recipe: WGAN-GP, n_critic=5)
++ domain-classification cross-entropy on real (D) / translated (G) images
++ cycle reconstruction ‖G(G(x, c_trg), c_src) − x‖₁.
+
+TPU-first choices:
+  * the target-domain condition enters as learned PER-CHANNEL BIASES added
+    after the stem/downsample instance norms (pre-ReLU) — conditional-IN
+    style, cf. StarGAN v2's style injection. The canonical v1 conditioning
+    (one-hot channels concatenated to the INPUT) is provably a no-op in this
+    framework: a spatially-constant concat contributes a spatially-constant
+    per-channel shift to the stem conv, and the stem's stateless
+    InstanceNorm under reflect padding subtracts it EXACTLY (the torch
+    original only receives signal through zero-pad border artifacts and
+    eval-time running statistics — neither exists here, by design). A
+    post-norm pre-ReLU bias instead shifts where each channel's ReLU clips,
+    which is spatially varying and survives every downstream normalization.
+    The biases are one (N, C) embedding matmul per injection point — MXU
+    work, no per-domain parameter sets, no dynamic dispatch.
+  * the rest of the body is the house CycleGAN generator topology (stem,
+    two downsamples, residual trunk, two upsamples, c7s1 head) built from
+    the same PadConv/InstanceNorm/ResnetBlock/UpsampleConv blocks — same
+    fused reflect lowering, s2d, and remat knobs as every other family.
+  * the discriminator is one strided conv trunk with two tiny heads
+    (real/fake patch map; domain logits via a VALID conv over the final
+    plane — equivalent to global dense, stays on the MXU). No normalization,
+    per the canonical WGAN-GP recipe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uig.models.layers import InstanceNorm, PadConv, ResnetBlock, UpsampleConv
+
+
+class StarGANGenerator(nn.Module):
+    """G(x, label): CycleGAN generator body with the target-domain label
+    injected as learned per-channel biases after the stem and downsample
+    instance norms (see module docstring for why input-concat conditioning
+    cannot work under stateless IN + reflect padding)."""
+
+    num_domains: int = 3
+    out_channels: int = 3
+    base_features: int = 64
+    n_res_blocks: int = 6
+    norm: str = "instance"
+    pad_mode: str = "reflect"
+    upsample: str = "conv_transpose"
+    head_s2d: int = 0
+    stem_s2d: int = 0
+    down_s2d: int = 0
+    remat_blocks: bool = False
+    conv_impl: str = "xla"
+    pad_impl: str = "fused"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, labels: jax.Array) -> jax.Array:
+        """x: (B, H, W, C) in [-1, 1]; labels: (B,) int target domains."""
+        f, dt = self.base_features, self.dtype
+        onehot = jax.nn.one_hot(labels, self.num_domains, dtype=jnp.float32)
+
+        def inject(h, feats, name):
+            # (N, C) embedding -> per-example bias, broadcast over H, W
+            # (house normal(0.02) init, NOT zeros: conditioning must be live
+            # from step 0 or the cycle/cls losses see zero label gradient
+            # through a dead path at init)
+            emb = nn.Dense(feats, use_bias=False,
+                           kernel_init=nn.initializers.normal(0.02),
+                           dtype=jnp.float32, param_dtype=jnp.float32,
+                           name=name)(onehot)
+            return h + emb[:, None, None, :].astype(h.dtype)
+
+        x = x.astype(dt)
+        x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=self.pad_impl,
+                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
+        x = InstanceNorm(dtype=dt)(x)
+        x = nn.relu(inject(x, f, "label_stem"))
+        for i, mult in enumerate((2, 4)):
+            x = PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
+                        dtype=dt, s2d_block=self.down_s2d,
+                        impl=self.conv_impl)(x)
+            x = InstanceNorm(dtype=dt)(x)
+            x = nn.relu(inject(x, f * mult, f"label_down{i}"))
+        block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
+        for i in range(self.n_res_blocks):
+            # explicit name: nn.remat renames the class, which would change
+            # the param path between remat modes (models/unit.py rule)
+            x = block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode,
+                          pad_impl=self.pad_impl, dtype=dt,
+                          name=f"ResnetBlock_{i}")(x)
+        for mult in (2, 1):
+            x = UpsampleConv(f * mult, method=self.upsample, dtype=dt)(x)
+            x = InstanceNorm(dtype=dt)(x)
+            x = nn.relu(x)
+        x = PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
+                    pad_impl=self.pad_impl, dtype=dt,
+                    s2d_block=self.head_s2d, impl=self.conv_impl)(x)
+        return jnp.tanh(x)
+
+
+class StarGANDiscriminator(nn.Module):
+    """Shared strided trunk (k4 s2 convs, LeakyReLU 0.01, features doubling
+    per layer, NO normalization — canonical for the WGAN-GP objective) with
+    two heads:
+
+      src — (B, H/2ⁿ, W/2ⁿ, 1) real/fake patch logit map (k3 s1, no bias)
+      cls — (B, num_domains) domain logits: one VALID conv whose kernel
+            covers the whole final plane (the canonical k = image/64 conv;
+            spatial size is static so this is a single dense-like matmul)
+
+    Returns (src, cls)."""
+
+    num_domains: int = 3
+    base_features: int = 64
+    n_layers: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        dt = self.dtype
+        x = x.astype(dt)
+        f = self.base_features
+        for i in range(self.n_layers):
+            x = PadConv(f * 2 ** i, 4, stride=2, pad=1, pad_mode="zeros",
+                        dtype=dt)(x)
+            x = nn.leaky_relu(x, 0.01)
+        if 0 in x.shape[1:3]:
+            raise ValueError(
+                f"StarGANDiscriminator trunk collapsed to {x.shape} — input "
+                f"spatial size is too small for n_layers={self.n_layers}; "
+                "use a larger image or fewer layers")
+        src = PadConv(1, 3, stride=1, pad=1, pad_mode="zeros",
+                      use_bias=False, dtype=dt)(x)
+        k = (x.shape[1], x.shape[2])
+        cls = nn.Conv(self.num_domains, k, padding="VALID", use_bias=False,
+                      dtype=dt, param_dtype=jnp.float32,
+                      kernel_init=nn.initializers.normal(0.02))(x)
+        return src, cls.reshape(x.shape[0], self.num_domains)

@@ -49,6 +49,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.munit_trainer import MUNITTrainer
 
         return MUNITTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "stargan":
+        from uig.train.stargan_trainer import StarGANTrainer
+
+        return StarGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "vqgan":
         from uig.train.vqgan_trainer import VQGANTrainer
 
@@ -227,6 +231,8 @@ def _inline_fid(cfg, trainer, state) -> float:
     from uig.data import eval_datasets
     from uig.eval.fid import compute_fid, make_feature_fn
 
+    if cfg.model.kind == "stargan":
+        return _inline_fid_stargan(cfg, trainer, state)
     ds_a, ds_b = eval_datasets(cfg)
     n = min(cfg.eval.fid_num_samples, len(ds_a), len(ds_b))
     bs = cfg.eval.fid_batch_size
@@ -258,6 +264,46 @@ def _inline_fid(cfg, trainer, state) -> float:
                        feature_dim=feat_dim)
 
 
+def _inline_fid_stargan(cfg, trainer, state) -> float:
+    """StarGAN in-training FID: translate every OTHER domain's eval images
+    into domain 0 and compare to domain-0 reals (one scalar that tracks both
+    realism and domain transfer; same streaming cross-process stats as the
+    two-domain path)."""
+    import jax.numpy as jnp
+
+    from uig.data import multidomain_eval_datasets
+    from uig.eval.fid import compute_fid, make_feature_fn
+
+    domains = multidomain_eval_datasets(cfg)
+    n = min(cfg.eval.fid_num_samples, *[len(d) for d in domains])
+    bs = cfg.eval.fid_batch_size
+    crop = cfg.model.image_size
+    hc, hi = jax.process_count(), jax.process_index()
+    mine = list(range(hi, n, hc))
+    ema = _local_ema(state)
+    sources = domains[1:]
+
+    def real_batches():
+        for s in range(0, len(mine), bs):
+            raw = np.stack([domains[0][i] for i in mine[s:s + bs]])
+            yield center_crop_normalize(jnp.asarray(raw), crop)
+
+    def fake_batches():
+        # round-robin the source domains over the index shard
+        for s in range(0, len(mine), bs):
+            idx = mine[s:s + bs]
+            raw = np.stack([sources[i % len(sources)][i] for i in idx])
+            yield trainer.translate(
+                ema, center_crop_normalize(jnp.asarray(raw), crop), 0)
+
+    feature_fn, _ = make_feature_fn(cfg)
+    feat_dim = int(jax.eval_shape(
+        feature_fn,
+        jax.ShapeDtypeStruct((1, crop, crop, 3), jnp.float32)).shape[-1])
+    return compute_fid(real_batches(), fake_batches(), feature_fn,
+                       feature_dim=feat_dim)
+
+
 def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
                        n: int | None = None) -> None:
     """Fixed-seed A→B and B→A translation grid PNG (SURVEY.md §5 metrics).
@@ -273,10 +319,31 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
     from uig.data import eval_datasets
 
     n = n or cfg.eval.sample_grid_n
-    ds_a, ds_b = eval_datasets(cfg)
     import jax.numpy as jnp
 
     ema = _local_ema(state)
+    if cfg.model.kind == "stargan":
+        # one row pair per domain d: sources, then their translation to
+        # domain (d+1) % N
+        from uig.data import multidomain_eval_datasets
+
+        domains = multidomain_eval_datasets(cfg)
+        rows = []
+        for d, ds in enumerate(domains):
+            raw = jnp.asarray(np.stack([ds[i] for i in range(n)]))
+            x = center_crop_normalize(raw, cfg.model.image_size)
+            y = trainer.translate(ema, x, (d + 1) % len(domains))
+            src = np.asarray(denormalize_to_u8(x))
+            dst = np.asarray(denormalize_to_u8(y))
+            rows.append(np.concatenate([np.concatenate(list(src), 1),
+                                        np.concatenate(list(dst), 1)], 0))
+        grid = np.concatenate(rows, 0)
+        out_dir = os.path.join(workdir, "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        Image.fromarray(grid).save(
+            os.path.join(out_dir, f"step_{step:08d}.png"))
+        return
+    ds_a, ds_b = eval_datasets(cfg)
     raw_a = jnp.asarray(np.stack([ds_a[i] for i in range(n)]))
     raw_b = jnp.asarray(np.stack([ds_b[i] for i in range(n)]))
     xa = center_crop_normalize(raw_a, cfg.model.image_size)

@@ -5,10 +5,13 @@ forward/backward program; losses are computed in fp32 even when the model
 compute dtype is bf16 (adversarial losses on bf16 logits lose too much
 signal at the |logit|≈0 equilibrium).
 
-GAN modes (BASELINE.json: LSGAN for CycleGAN/CUT rungs; hinge for VQGAN):
+GAN modes (BASELINE.json: LSGAN for CycleGAN/CUT rungs; hinge for VQGAN;
+wgan for the StarGAN family, paired with gradient_penalty):
   * lsgan   — MSE to the 1/0 label (least-squares GAN)
   * vanilla — BCE-with-logits
   * hinge   — hinge loss for D, -E[D(fake)] for G
+  * wgan    — Wasserstein critic: D maximizes E[D(real)] − E[D(fake)]
+              (use with gradient_penalty — WGAN-GP — not weight clipping)
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def gan_loss_g(fake_logits, mode: str = "lsgan") -> jax.Array:
         return jnp.mean(jnp.square(y - 1.0))
     if mode == "vanilla":
         return jnp.mean(jax.nn.softplus(-y))  # -log sigmoid(y)
-    if mode == "hinge":
+    if mode in ("hinge", "wgan"):
         return -jnp.mean(y)
     raise ValueError(f"unknown gan mode {mode!r}")
 
@@ -56,6 +59,9 @@ def gan_loss_d(real_logits, fake_logits,
         return 0.5 * (jnp.mean(jax.nn.softplus(-r)) + jnp.mean(jax.nn.softplus(f)))
     if mode == "hinge":
         return 0.5 * (jnp.mean(jax.nn.relu(1.0 - r)) + jnp.mean(jax.nn.relu(1.0 + f)))
+    if mode == "wgan":
+        # canonical WGAN critic loss carries no 0.5 factor
+        return jnp.mean(f) - jnp.mean(r)
     raise ValueError(f"unknown gan mode {mode!r}")
 
 
@@ -110,3 +116,34 @@ def r1_penalty(d_apply, d_params, real: "jax.Array") -> "jax.Array":
 
     g = jax.grad(scalar_d)(_f32(real))
     return 0.5 * jnp.mean(jnp.sum(jnp.square(_f32(g)), axis=(1, 2, 3)))
+
+
+def gradient_penalty(d_fn, real: jax.Array, fake: jax.Array,
+                     key: jax.Array) -> jax.Array:
+    """WGAN-GP gradient penalty (Gulrajani et al. 2017): E[(‖∇ₓD(x̂)‖₂−1)²]
+    at per-example random interpolates x̂ = εx + (1−ε)x̃, ε ~ U(0,1).
+
+    ``d_fn`` maps images → critic logits (any shape; summed to a scalar for
+    the grad — the per-example ∇ is unaffected because examples don't mix).
+    Caller scales by loss.lambda_gp. The per-example ‖·‖₂ is over ALL logit
+    outputs of that example (canonical implementation flattens the map)."""
+    real = _f32(real)
+    eps = jax.random.uniform(key, (real.shape[0], 1, 1, 1), jnp.float32)
+    xhat = eps * real + (1.0 - eps) * _f32(fake)
+
+    def scalar_d(x):
+        return jnp.sum(_f32(d_fn(x)))
+
+    g = _f32(jax.grad(scalar_d)(xhat))
+    norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2, 3)) + 1e-12)
+    return jnp.mean(jnp.square(norm - 1.0))
+
+
+def domain_cls_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy of (B, N) domain logits against integer
+    labels (B,) — the StarGAN auxiliary-classifier objective, applied to
+    real images for D (against their true domain) and to translated images
+    for G (against the target domain)."""
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(
+        logp, labels[:, None].astype(jnp.int32), axis=-1))
