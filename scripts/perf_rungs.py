@@ -24,6 +24,8 @@ RUNGS = {
     "cut256": ("cut256_multihost", ["parallel.multihost=False"], 16),
     "unit256": ("unit256", [], 16),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
+    # batch 12: per-device batch must be a multiple of num_domains=3
+    "stargan128": ("stargan128", [], 12),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),
@@ -47,7 +49,9 @@ def measure(name, steps=12, repeats=3):
     L = cfg.data.load_size
     a = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
     b = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
-    dev = shard_batch(mesh, (a, b))
+    # stargan consumes ONE interleaved multi-domain array
+    dev = (shard_batch(mesh, (a,)) if cfg.model.kind == "stargan"
+           else shard_batch(mesh, (a, b)))
     state, m = tr.train_step(state, dev)
     jax.device_get(m)
     best = float("inf")
@@ -61,7 +65,7 @@ def measure(name, steps=12, repeats=3):
     try:
         c = tr._train_step.lower(state, *(
             (tr.vqgan_params, dev[0], dev[1])
-            if hasattr(tr, "vqgan_params") else (dev[0], dev[1]))).compile()
+            if hasattr(tr, "vqgan_params") else tuple(dev))).compile()
         ca = c.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]

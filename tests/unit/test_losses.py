@@ -43,8 +43,9 @@ def test_cycle_identity_l1():
 
 
 def test_unknown_mode_raises():
+    # "wgan" became a real mode in round 3 (StarGAN); use a true unknown
     with pytest.raises(ValueError):
-        gan_loss_g(jnp.zeros(3), "wgan")
+        gan_loss_g(jnp.zeros(3), "wgan_gp_typo")
 
 
 def test_patch_nce_perfect_alignment_low_loss():
