@@ -126,11 +126,28 @@ def add_reflect_ring_delta(y: jax.Array, x: jax.Array,
     p-wide output ring — onto ``y``, which must be the SAME-shaped stride-1
     zero-padded conv of x by w (however it was executed: plain implicit-pad
     conv, or the space-to-depth formulation — the delta only depends on the
-    linear map, not the execution)."""
+    linear map, not the execution).
+
+    Formulation ("sparse pad-frame strips", round-3 A/B winner at
+    54.1 vs 52.1 img/s on the 256² step — scripts/ring_delta_v2.py,
+    BASELINE.md): the reflect−zero strip SUBTRACTION is algebraically
+    unnecessary — real-content rows cancel exactly, leaving the "pad
+    frame": reflect values at pad cells, zeros elsewhere. Building that
+    frame directly needs one assembly instead of two and no subtract
+    (~5 fewer HLO ops per conv; the reflect tax is op-count-bound).
+    Difference-strip contents (p = k//2), top strip as the example:
+      rows 0..p-1   = reflected interior rows (flip of x[1..p]),
+                      reflect-padded columns;
+      rows p..p+k-2 = ZERO except the p-wide column-pad edges, which hold
+                      the reflect column values of the k-1 real rows the
+                      ring outputs read.
+    (A third variant packing both strip convs into ONE conv with a
+    block-diagonal [w 0; 0 wT] kernel crashes the TPU backend's fusion
+    emitter — ReverseInput::TransformWindow check — recorded as a negative
+    result in BASELINE.md.)"""
     k = w.shape[0]
     p = k // 2
-    h, wd = x.shape[1], x.shape[2]
-    b = x.shape[0]
+    b, h, wd, c = x.shape
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv_valid(t):
@@ -138,35 +155,37 @@ def add_reflect_ring_delta(y: jax.Array, x: jax.Array,
             t, w, window_strides=(1, 1), padding="VALID",
             dimension_numbers=dn)
 
-    zrow = jnp.zeros((b, p, wd, x.shape[3]), x.dtype)
-    # top/bottom strips: pad rows + the k-1 real rows the ring outputs read.
-    # reflect variant: reflected interior rows, reflect-padded columns.
-    # zero variant: zero pad rows, zero-padded columns (what the main conv's
-    # implicit padding used). Their difference cancels all real content.
-    top_r = jnp.concatenate([jnp.flip(x[:, 1:p + 1], 1), x[:, :k - 1]], 1)
-    bot_r = jnp.concatenate(
-        [x[:, h - k + 1:], jnp.flip(x[:, h - p - 1:h - 1], 1)], 1)
-    top_z = jnp.concatenate([zrow, x[:, :k - 1]], 1)
-    bot_z = jnp.concatenate([x[:, h - k + 1:], zrow], 1)
-    tb_r = jnp.pad(jnp.concatenate([top_r, bot_r], 0),
-                   ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
-    tb_z = jnp.pad(jnp.concatenate([top_z, bot_z], 0),
-                   ((0, 0), (0, 0), (p, p), (0, 0)))
-    tb_out = conv_valid(tb_r - tb_z)  # (2B, p, W, f) delta
-    y = y.at[:, :p].add(tb_out[:b])
-    y = y.at[:, h - p:].add(tb_out[b:])
+    def colpad_reflect(t):  # reflect pad along the width axis
+        return jnp.pad(t, ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
 
-    # left/right strips cover the remaining ring rows [p, H-p): no row
-    # padding is involved there, so only the column pads differ.
-    zcol = jnp.zeros((b, h, p, x.shape[3]), x.dtype)
-    lft_r = jnp.concatenate([jnp.flip(x[:, :, 1:p + 1], 2), x[:, :, :k - 1]], 2)
-    rgt_r = jnp.concatenate(
-        [x[:, :, wd - k + 1:], jnp.flip(x[:, :, wd - p - 1:wd - 1], 2)], 2)
-    lft_z = jnp.concatenate([zcol, x[:, :, :k - 1]], 2)
-    rgt_z = jnp.concatenate([x[:, :, wd - k + 1:], zcol], 2)
-    lr_out = conv_valid(jnp.concatenate([lft_r - lft_z, rgt_r - rgt_z], 0))
-    y = y.at[:, p:h - p, :p].add(lr_out[:b])  # (B, H-2p, p, f)
-    y = y.at[:, p:h - p, wd - p:].add(lr_out[b:])
+    def edge_cols(rows):  # (B, k-1, W, C) -> (B, k-1, W+2p, C), zero interior
+        z = jnp.zeros(rows.shape[:2] + (wd, c), rows.dtype)
+        return jnp.concatenate(
+            [jnp.flip(rows[:, :, 1:p + 1], 2), z,
+             jnp.flip(rows[:, :, wd - p - 1:wd - 1], 2)], 2)
+
+    # top/bottom: pad rows are reflected interior rows; the k-1 real rows
+    # the ring outputs read contribute only their column-pad edges
+    top = jnp.concatenate(
+        [colpad_reflect(jnp.flip(x[:, 1:p + 1], 1)), edge_cols(x[:, :k - 1])], 1)
+    bot = jnp.concatenate(
+        [edge_cols(x[:, h - k + 1:]),
+         colpad_reflect(jnp.flip(x[:, h - p - 1:h - 1], 1))], 1)
+    tb = conv_valid(jnp.concatenate([top, bot], 0))  # (2B, p, W, f)
+    y = y.at[:, :p].add(tb[:b])
+    y = y.at[:, h - p:].add(tb[b:])
+
+    # left/right: rows [p, H-p) read no row pad; only the column-pad cells
+    # differ — frame = [reflect col-pad values | zeros over k-1 real cols]
+    lft = jnp.concatenate(
+        [jnp.flip(x[:, :, 1:p + 1], 2),
+         jnp.zeros((b, h, k - 1, c), x.dtype)], 2)
+    rgt = jnp.concatenate(
+        [jnp.zeros((b, h, k - 1, c), x.dtype),
+         jnp.flip(x[:, :, wd - p - 1:wd - 1], 2)], 2)
+    lr = conv_valid(jnp.concatenate([lft, rgt], 0))  # (2B, H-2p, p, f)
+    y = y.at[:, p:h - p, :p].add(lr[:b])
+    y = y.at[:, p:h - p, wd - p:].add(lr[b:])
     return y
 
 
