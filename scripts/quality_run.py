@@ -24,6 +24,15 @@ VARIANTS = {
     "dreg": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05"],
     "dreg_resize": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05",
                     "model.upsample=resize_conv"],
+    # round-3 ADA variants on top of the best round-2 recipe: the adaptive
+    # controller (speed scaled to this run's 40 kimg budget — canonical 500
+    # kimg would cap p at 0.08) and fixed-p DiffAugment
+    "dreg_resize_ada": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05",
+                        "model.upsample=resize_conv",
+                        "loss.ada_target=0.6", "loss.ada_speed_kimg=20"],
+    "dreg_resize_diffaug": ["opt.d_lr_ratio=0.5", "loss.r1_gamma=0.05",
+                            "model.upsample=resize_conv",
+                            "loss.ada_p_init=0.3"],
 }
 
 COMMON = [

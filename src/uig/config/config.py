@@ -173,6 +173,18 @@ class LossConfig:
     # The D-regularization knob for small-data runs where D overpowers G
     # (round-1 5000-step finding: d_loss→0.04 and FID drifts back up).
     r1_gamma: float = 0.0
+    # Adaptive discriminator augmentation (train/ada.py): differentiable
+    # augmentation of EVERY image D sees (reals, pool fakes, and the fakes
+    # inside the G loss — G gets gradients through it). ada_target > 0
+    # enables the StyleGAN2-ADA controller (p driven by the overfitting
+    # heuristic r_t = E[sign(D(real)−center)] toward the target, canonical
+    # 0.6); ada_target == 0 with ada_p_init > 0 is the fixed-p DiffAugment
+    # policy. The p state lives in the train state and the whole controller
+    # is inside the one compiled step.
+    ada_target: float = 0.0
+    ada_p_init: float = 0.0
+    ada_speed_kimg: float = 500.0  # images (k) for p to traverse 0→1
+    ada_ops: str = "color,translation,cutout"  # + optional xflip
 
 
 @dataclass(frozen=True)

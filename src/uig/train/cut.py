@@ -29,6 +29,7 @@ from uig.config import Config
 from uig.kernels.augment import augment
 from uig.models import PatchDiscriminator, ResNetGenerator
 from uig.runtime.prng import fold_step, split_named
+from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.pool import ImagePool, PoolState
@@ -57,6 +58,8 @@ class CUTState(struct.PyTreeNode):
     pool_b: PoolState
     rng: jax.Array
     step: jax.Array
+    # ADA augmentation probability (train/ada.py); () f32 carried state
+    ada_p: jax.Array = None
 
 
 def _sample_patches(feat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -125,6 +128,12 @@ class CUTTrainer:
         self.pool = ImagePool(cfg.opt.pool_size)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        self._ada = ada.ada_enabled(cfg.loss)
+        self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
+        if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
+            raise ValueError(
+                "loss.ada_target needs a GAN mode with a decision boundary; "
+                "use fixed-p DiffAugment (ada_p_init>0, ada_target=0) with wgan")
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -164,6 +173,7 @@ class CUTTrainer:
             pool_b=global_pool.init(img_shape, pool_dtype),
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ada_p=jnp.asarray(cfg.loss.ada_p_init, jnp.float32),
         )
 
     def init_state(self, rng: jax.Array) -> CUTState:
@@ -185,6 +195,7 @@ class CUTTrainer:
             pool_b=PoolState(buffer=shard0, count=rep),
             rng=rep,
             step=rep,
+            ada_p=rep,
         )
 
     def state_shardings(self):
@@ -263,6 +274,15 @@ class CUTTrainer:
 
         fuse = cfg.model.fused_applies
 
+        # ADA: augment every D input (train/ada.py) — the fake in the G
+        # adversarial term, and the real/pool-fake pair in the D loss.
+        if self._ada:
+            ada_key = jax.random.fold_in(step_key, 0xADA)
+            T = lambda x, i: ada.diff_augment(
+                x, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+        else:
+            T = lambda x, i: x
+
         def g_loss_fn(g_params):
             if fuse and loss_cfg.nce_include_identity:
                 # all same-params passes batched (model.fused_applies):
@@ -293,7 +313,7 @@ class CUTTrainer:
                     idt_b = self._gen_apply(g_params["gen"], real_b)
                     nce_idt = self._nce(g_params, real_b, idt_b,
                                         keys["nce_idt"])
-            adv = L.gan_loss_g(D.apply(state.d_params, fake_b),
+            adv = L.gan_loss_g(D.apply(state.d_params, T(fake_b, 0)),
                                loss_cfg.gan_mode)
             total = adv + loss_cfg.lambda_nce * nce
             if loss_cfg.nce_include_identity:
@@ -311,45 +331,65 @@ class CUTTrainer:
         pool_b, d_fake_b = self.pool.query(state.pool_b, aux["fake_b"],
                                            keys["pool"])
 
+        # R1 penalizes grad at D's ACTUAL input — the augmented reals.
+        dr_b, df_b = T(real_b, 1), T(d_fake_b, 2)
+
         def d_loss_fn(d_params):
             if fuse:
                 rb, fb = jnp.split(D.apply(
-                    d_params, jnp.concatenate([real_b, d_fake_b], 0)), 2, 0)
-                total = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
+                    d_params, jnp.concatenate([dr_b, df_b], 0)), 2, 0)
             else:
-                total = L.gan_loss_d(
-                    D.apply(d_params, real_b), D.apply(d_params, d_fake_b),
-                    loss_cfg.gan_mode)
+                rb = D.apply(d_params, dr_b)
+                fb = D.apply(d_params, df_b)
+            total = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
             if loss_cfg.r1_gamma > 0:
                 total = total + loss_cfg.r1_gamma * L.r1_penalty(
-                    D.apply, d_params, real_b)
-            return total, {}
+                    D.apply, d_params, dr_b)
+            aux = {}
+            if loss_cfg.ada_target > 0:
+                aux["ada_rt"] = ada.ada_heuristic(rb, loss_cfg.gan_mode)
+            return total, aux
 
-        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+
+        ada_p = state.ada_p
+        if loss_cfg.ada_target > 0:
+            rt = jax.lax.pmean(d_aux["ada_rt"], axis)
+            ada_p = ada.ada_update_p(
+                state.ada_p, rt, loss_cfg.ada_target,
+                loss_cfg.ada_speed_kimg, cfg.data.batch_size)
 
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss, "g_adv": aux["g_adv"],
             "nce": aux["nce"], "nce_idt": aux["nce_idt"],
             "lr": self._lr(state.step),
         }
+        if self._ada:
+            metrics["ada_p"] = ada_p
+            if loss_cfg.ada_target > 0:
+                metrics["ada_rt"] = d_aux["ada_rt"]
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
                                    metrics), axis)
         new_state = state.replace(
             g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
-            ema=ema, pool_b=pool_b, step=state.step + 1)
+            ema=ema, pool_b=pool_b, step=state.step + 1, ada_p=ada_p)
         return new_state, metrics
 
     def _build_train_step(self):
         abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
         specs = self._specs_for(abstract)
         batch_spec = P(self.axis)
-        out_metric_specs = {k: P() for k in
-                            ("g_loss", "d_loss", "g_adv", "nce", "nce_idt", "lr")}
+        metric_names = ("g_loss", "d_loss", "g_adv", "nce", "nce_idt", "lr")
+        if self._ada:
+            metric_names += ("ada_p",)
+            if self.cfg.loss.ada_target > 0:
+                metric_names += ("ada_rt",)
+        out_metric_specs = {k: P() for k in metric_names}
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
             in_specs=(specs, batch_spec, batch_spec),

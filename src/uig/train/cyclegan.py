@@ -33,6 +33,7 @@ from uig.kernels.augment import augment
 from uig.models import PatchDiscriminator, ResNetGenerator
 from uig.runtime.prng import fold_step, split_named
 from uig.train import losses as L
+from uig.train import ada
 from uig.train.ema import ema_update
 from uig.train.pool import ImagePool, PoolState
 from uig.train.state import CycleGANState, lr_schedule, make_optimizer
@@ -91,6 +92,12 @@ class CycleGANTrainer:
         self.pool = ImagePool(cfg.opt.pool_size)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        self._ada = ada.ada_enabled(cfg.loss)
+        self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
+        if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
+            raise ValueError(
+                "loss.ada_target needs a GAN mode with a decision boundary; "
+                "use fixed-p DiffAugment (ada_p_init>0, ada_target=0) with wgan")
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -127,6 +134,7 @@ class CycleGANTrainer:
             pool_b=PoolState(buffer=shard0, count=rep),
             rng=rep,
             step=rep,
+            ada_p=rep,
         )
 
     def state_shardings(self):
@@ -168,6 +176,7 @@ class CycleGANTrainer:
             pool_b=global_pool.init(img_shape, pool_dtype),
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ada_p=jnp.asarray(cfg.loss.ada_p_init, jnp.float32),
         )
 
     # ------------------------------------------------------------------
@@ -207,6 +216,17 @@ class CycleGANTrainer:
 
         fuse = cfg.model.fused_applies
 
+        # ADA: every image D sees goes through the gated differentiable
+        # augmentation pipeline (train/ada.py) — reals, pool fakes, and the
+        # fakes in the G loss (G gets gradients through it). Fresh per-use
+        # keys derive from the step key so the step stays deterministic.
+        if self._ada:
+            ada_key = jax.random.fold_in(step_key, 0xADA)
+            T = lambda x, i: ada.diff_augment(
+                x, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+        else:
+            T = lambda x, i: x
+
         # ---------------- G update ----------------
         def g_loss_fn(g_params):
             idt_a = idt_b = None
@@ -228,8 +248,10 @@ class CycleGANTrainer:
             rec_b = g_apply(g_params["a2b"], fake_a)
 
             adv = (
-                L.gan_loss_g(D.apply(state.d_params["b"], fake_b), loss_cfg.gan_mode)
-                + L.gan_loss_g(D.apply(state.d_params["a"], fake_a), loss_cfg.gan_mode)
+                L.gan_loss_g(D.apply(state.d_params["b"], T(fake_b, 0)),
+                             loss_cfg.gan_mode)
+                + L.gan_loss_g(D.apply(state.d_params["a"], T(fake_a, 1)),
+                               loss_cfg.gan_mode)
             )
             cyc = lam * (L.cycle_loss(real_a, rec_a) + L.cycle_loss(real_b, rec_b))
             total = adv + cyc
@@ -272,35 +294,39 @@ class CycleGANTrainer:
         pool_b, d_fake_b = self.pool.query(state.pool_b, aux["fake_b"], keys["pool_b"])
 
         # ---------------- D update ----------------
+        # ADA-augmented D inputs (pure functions of the step key, so they
+        # hoist out of the grad): reals and pool fakes each get independent
+        # augmentation draws; R1 penalizes ∇ at D's ACTUAL input — the
+        # augmented reals (the StyleGAN2-ADA formulation).
+        dr_a, df_a = T(real_a, 2), T(d_fake_a, 3)
+        dr_b, df_b = T(real_b, 4), T(d_fake_b, 5)
+
         def d_loss_fn(d_params):
             if fuse:
                 ra, fa = jnp.split(
                     D.apply(d_params["a"],
-                            jnp.concatenate([real_a, d_fake_a], 0)), 2, 0)
+                            jnp.concatenate([dr_a, df_a], 0)), 2, 0)
                 rb, fb = jnp.split(
                     D.apply(d_params["b"],
-                            jnp.concatenate([real_b, d_fake_b], 0)), 2, 0)
-                la = L.gan_loss_d(ra, fa, loss_cfg.gan_mode)
-                lb = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
+                            jnp.concatenate([dr_b, df_b], 0)), 2, 0)
             else:
-                la = L.gan_loss_d(
-                    D.apply(d_params["a"], real_a),
-                    D.apply(d_params["a"], d_fake_a),
-                    loss_cfg.gan_mode,
-                )
-                lb = L.gan_loss_d(
-                    D.apply(d_params["b"], real_b),
-                    D.apply(d_params["b"], d_fake_b),
-                    loss_cfg.gan_mode,
-                )
+                ra = D.apply(d_params["a"], dr_a)
+                fa = D.apply(d_params["a"], df_a)
+                rb = D.apply(d_params["b"], dr_b)
+                fb = D.apply(d_params["b"], df_b)
+            la = L.gan_loss_d(ra, fa, loss_cfg.gan_mode)
+            lb = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
             total = la + lb
             r1 = jnp.float32(0.0)
             if loss_cfg.r1_gamma > 0:
                 r1 = loss_cfg.r1_gamma * (
-                    L.r1_penalty(D.apply, d_params["a"], real_a)
-                    + L.r1_penalty(D.apply, d_params["b"], real_b))
+                    L.r1_penalty(D.apply, d_params["a"], dr_a)
+                    + L.r1_penalty(D.apply, d_params["b"], dr_b))
                 total = total + r1
-            return total, {"d_a": la, "d_b": lb, "d_r1": r1}
+            aux = {"d_a": la, "d_b": lb, "d_r1": r1}
+            if loss_cfg.ada_target > 0:
+                aux["ada_rt"] = ada.ada_heuristic((ra, rb), loss_cfg.gan_mode)
+            return total, aux
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
@@ -308,6 +334,14 @@ class CycleGANTrainer:
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ADA controller: identical on every device (pmean'd heuristic).
+        ada_p = state.ada_p
+        if loss_cfg.ada_target > 0:
+            rt = jax.lax.pmean(d_aux["ada_rt"], axis)
+            ada_p = ada.ada_update_p(
+                state.ada_p, rt, loss_cfg.ada_target,
+                loss_cfg.ada_speed_kimg, cfg.data.batch_size)
 
         metrics = {
             "g_loss": g_loss,
@@ -321,6 +355,10 @@ class CycleGANTrainer:
             "d_r1": d_aux["d_r1"],
             "lr": self._lr(state.step),
         }
+        if self._ada:
+            metrics["ada_p"] = ada_p
+            if loss_cfg.ada_target > 0:
+                metrics["ada_rt"] = d_aux["ada_rt"]
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), metrics),
             axis,
@@ -334,6 +372,7 @@ class CycleGANTrainer:
             pool_a=pool_a,
             pool_b=pool_b,
             step=state.step + 1,
+            ada_p=ada_p,
         )
         return new_state, metrics
 
@@ -346,6 +385,10 @@ class CycleGANTrainer:
             "g_loss", "d_loss", "g_adv", "g_cycle", "g_idt", "g_lpips",
             "d_a", "d_b", "d_r1", "lr",
         )
+        if self._ada:
+            metric_names += ("ada_p",)
+            if self.cfg.loss.ada_target > 0:
+                metric_names += ("ada_rt",)
         out_metric_specs = {k: P() for k in metric_names}
 
         shmapped = jax.shard_map(

@@ -39,6 +39,7 @@ from uig.config.config import remat_mode
 from uig.kernels.augment import augment
 from uig.models.stargan import StarGANDiscriminator, StarGANGenerator
 from uig.runtime.prng import fold_step, split_named
+from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.state import lr_schedule, make_optimizer
@@ -52,6 +53,8 @@ class StarGANState(struct.PyTreeNode):
     ema: dict  # EMA copy of g_params (the serving weights)
     rng: jax.Array
     step: jax.Array
+    # ADA augmentation probability (train/ada.py); () f32 carried state
+    ada_p: jax.Array = None
 
 
 class StarGANTrainer:
@@ -105,6 +108,13 @@ class StarGANTrainer:
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self._lr = lr_schedule(cfg.opt)
         self.n_critic = max(1, cfg.opt.d_steps_per_g)
+        self._ada = ada.ada_enabled(cfg.loss)
+        self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
+        if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
+            raise ValueError(
+                "loss.ada_target needs a GAN mode with a decision boundary; "
+                "the canonical StarGAN recipe is WGAN-GP — use fixed-p "
+                "DiffAugment (ada_p_init>0, ada_target=0) there")
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -138,6 +148,7 @@ class StarGANTrainer:
             ema=jax.tree_util.tree_map(jnp.copy, g_params),
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ada_p=jnp.asarray(self.cfg.loss.ada_p_init, jnp.float32),
         )
 
     def init_state(self, rng: jax.Array) -> StarGANState:
@@ -152,7 +163,7 @@ class StarGANTrainer:
         return StarGANState(
             g_params=bc(state_like.g_params), d_params=bc(state_like.d_params),
             g_opt=bc(state_like.g_opt), d_opt=bc(state_like.d_opt),
-            ema=bc(state_like.ema), rng=rep, step=rep)
+            ema=bc(state_like.ema), rng=rep, step=rep, ada_p=rep)
 
     def state_shardings(self):
         from jax.sharding import NamedSharding
@@ -197,26 +208,42 @@ class StarGANTrainer:
         g_apply = (jax.checkpoint(G.apply) if self._remat == "full"
                    else G.apply)
 
+        # ADA: every image D sees goes through the gated differentiable
+        # augmentation pipeline (train/ada.py). The label-preserving op set
+        # (color/translation/cutout/xflip) keeps the aux-classifier target
+        # valid on augmented reals; the WGAN gradient penalty interpolates
+        # between D's ACTUAL inputs — the augmented real/fake pair.
+        if self._ada:
+            ada_key = jax.random.fold_in(step_key, 0xADA)
+            T = lambda x, i: ada.diff_augment(
+                x, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+        else:
+            T = lambda x, i: x
+
         # ---------------- D update (every step) ----------------
         fake = jax.lax.stop_gradient(g_apply(state.g_params, real, trg_labels))
+        dr, df = T(real, 0), T(fake, 1)
 
         def d_loss_fn(d_params):
-            src_real, cls_real = D.apply(d_params, real)
-            src_fake, _ = D.apply(d_params, fake)
+            src_real, cls_real = D.apply(d_params, dr)
+            src_fake, _ = D.apply(d_params, df)
             adv = L.gan_loss_d(src_real, src_fake, loss_cfg.gan_mode)
             cls = lam_cls * L.domain_cls_loss(cls_real, src_labels)
             total = adv + cls
             gp = jnp.float32(0.0)
             if loss_cfg.gan_mode == "wgan" and loss_cfg.lambda_gp > 0:
                 gp = loss_cfg.lambda_gp * L.gradient_penalty(
-                    lambda x: D.apply(d_params, x)[0], real, fake, keys["gp"])
+                    lambda x: D.apply(d_params, x)[0], dr, df, keys["gp"])
                 total = total + gp
             r1 = jnp.float32(0.0)
             if loss_cfg.r1_gamma > 0:
                 r1 = loss_cfg.r1_gamma * L.r1_penalty(
-                    lambda p, x: D.apply(p, x)[0], d_params, real)
+                    lambda p, x: D.apply(p, x)[0], d_params, dr)
                 total = total + r1
-            return total, {"d_adv": adv, "d_cls": cls, "d_gp": gp, "d_r1": r1}
+            daux = {"d_adv": adv, "d_cls": cls, "d_gp": gp, "d_r1": r1}
+            if loss_cfg.ada_target > 0:
+                daux["ada_rt"] = ada.ada_heuristic(src_real, loss_cfg.gan_mode)
+            return total, daux
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
@@ -228,7 +255,7 @@ class StarGANTrainer:
         # ---------------- G update (every n_critic-th step) ----------------
         def g_loss_fn(g_params):
             fake_g = g_apply(g_params, real, trg_labels)
-            src_fake, cls_fake = D.apply(d_params, fake_g)  # the UPDATED D
+            src_fake, cls_fake = D.apply(d_params, T(fake_g, 2))  # updated D
             adv = L.gan_loss_g(src_fake, loss_cfg.gan_mode)
             cls = lam_cls * L.domain_cls_loss(cls_fake, trg_labels)
             rec = lam_rec * L.cycle_loss(
@@ -255,24 +282,40 @@ class StarGANTrainer:
         (g_params, g_opt, ema, g_loss, g_adv, g_cls, g_rec,
          g_active) = jax.lax.cond(g_turn, g_update, g_skip, None)
 
+        # ADA controller: identical on every device (pmean'd heuristic)
+        ada_p = state.ada_p
+        if loss_cfg.ada_target > 0:
+            rt = jax.lax.pmean(d_aux["ada_rt"], axis)
+            ada_p = ada.ada_update_p(
+                state.ada_p, rt, loss_cfg.ada_target,
+                loss_cfg.ada_speed_kimg, cfg.data.batch_size)
+
         metrics = {
             "g_loss": g_loss, "g_adv": g_adv, "g_cls": g_cls, "g_rec": g_rec,
             "g_active": g_active, "d_loss": d_loss, "d_adv": d_aux["d_adv"],
             "d_cls": d_aux["d_cls"], "d_gp": d_aux["d_gp"],
             "d_r1": d_aux["d_r1"], "lr": self._lr(state.step),
         }
+        if self._ada:
+            metrics["ada_p"] = ada_p
+            if loss_cfg.ada_target > 0:
+                metrics["ada_rt"] = d_aux["ada_rt"]
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float32),
                                    metrics), axis)
         return state.replace(
             g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
-            ema=ema, step=state.step + 1), metrics
+            ema=ema, step=state.step + 1, ada_p=ada_p), metrics
 
     def _build_train_step(self):
         abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
         specs = self._specs_for(abstract)
         names = ("g_loss", "g_adv", "g_cls", "g_rec", "g_active", "d_loss",
                  "d_adv", "d_cls", "d_gp", "d_r1", "lr")
+        if self._ada:
+            names += ("ada_p",)
+            if self.cfg.loss.ada_target > 0:
+                names += ("ada_rt",)
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
             in_specs=(specs, P(self.axis)),

@@ -28,6 +28,9 @@ class CycleGANState(struct.PyTreeNode):
     pool_b: PoolState  # historical fake-B images (feed D_B)
     rng: jax.Array  # base key; per-step keys derive via fold_step
     step: jax.Array  # () int32
+    # ADA augmentation probability (train/ada.py); () f32, carried so the
+    # controller update is part of the one compiled step and resume is exact
+    ada_p: jax.Array = None
 
 
 def lr_schedule(opt: OptConfig, lr_scale: float = 1.0):

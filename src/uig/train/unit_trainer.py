@@ -38,6 +38,7 @@ from uig.kernels.augment import augment
 from uig.models.patch_disc import PatchDiscriminator
 from uig.models.unit import UNITGenerator
 from uig.runtime.prng import fold_step, split_named
+from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.state import lr_schedule, make_optimizer
@@ -51,6 +52,8 @@ class UNITState(struct.PyTreeNode):
     ema: dict  # EMA copy of g_params (the serving weights)
     rng: jax.Array
     step: jax.Array
+    # ADA augmentation probability (train/ada.py); () f32 carried state
+    ada_p: jax.Array = None
 
 
 def _unit_kl(mu: jax.Array) -> jax.Array:
@@ -103,6 +106,12 @@ class UNITTrainer:
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        self._ada = ada.ada_enabled(cfg.loss)
+        self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
+        if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
+            raise ValueError(
+                "loss.ada_target needs a GAN mode with a decision boundary; "
+                "use fixed-p DiffAugment (ada_p_init>0, ada_target=0) with wgan")
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -134,6 +143,7 @@ class UNITTrainer:
             ema=jax.tree_util.tree_map(jnp.copy, g_params),
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ada_p=jnp.asarray(self.cfg.loss.ada_p_init, jnp.float32),
         )
 
     def init_state(self, rng: jax.Array) -> UNITState:
@@ -148,7 +158,7 @@ class UNITTrainer:
         return UNITState(
             g_params=bc(state_like.g_params), d_params=bc(state_like.d_params),
             g_opt=bc(state_like.g_opt), d_opt=bc(state_like.d_opt),
-            ema=bc(state_like.ema), rng=rep, step=rep)
+            ema=bc(state_like.ema), rng=rep, step=rep, ada_p=rep)
 
     def state_shardings(self):
         from jax.sharding import NamedSharding
@@ -208,6 +218,16 @@ class UNITTrainer:
 
         fuse = cfg.model.fused_applies
 
+        # ADA: every image D sees goes through the gated differentiable
+        # augmentation pipeline (train/ada.py) — reals, fakes, and the fakes
+        # in the G adversarial terms (G gets gradients through it).
+        if self._ada:
+            ada_key = jax.random.fold_in(step_key, 0xADA)
+            T = lambda x, i: ada.diff_augment(
+                x, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+        else:
+            T = lambda x, i: x
+
         def g_loss_fn(g_params):
             mu_a = enc(g_params, real_a, "a")
             mu_b = enc(g_params, real_b, "b")
@@ -237,9 +257,9 @@ class UNITTrainer:
             x_aba = dec(g_params, z_ab, "a")
             x_bab = dec(g_params, z_ba, "b")
 
-            adv = (L.gan_loss_g(D.apply(state.d_params["b"], x_ab),
+            adv = (L.gan_loss_g(D.apply(state.d_params["b"], T(x_ab, 0)),
                                 loss_cfg.gan_mode)
-                   + L.gan_loss_g(D.apply(state.d_params["a"], x_ba),
+                   + L.gan_loss_g(D.apply(state.d_params["a"], T(x_ba, 1)),
                                   loss_cfg.gan_mode))
             rec = lam_rec * (L.l1_loss(real_a, recon_a)
                              + L.l1_loss(real_b, recon_b))
@@ -268,31 +288,37 @@ class UNITTrainer:
         fake_a = jax.lax.stop_gradient(aux["x_ba"])
         fake_b = jax.lax.stop_gradient(aux["x_ab"])
 
+        # ADA-augmented D inputs; R1 penalizes ∇ at D's ACTUAL input — the
+        # augmented reals (the StyleGAN2-ADA formulation)
+        dr_a, df_a = T(real_a, 2), T(fake_a, 3)
+        dr_b, df_b = T(real_b, 4), T(fake_b, 5)
+
         def d_loss_fn(d_params):
             if cfg.model.fused_applies:
                 # real/fake share D params — ONE 2B apply per D (same math;
                 # see ModelConfig.fused_applies)
                 ra, fa = jnp.split(D.apply(
-                    d_params["a"], jnp.concatenate([real_a, fake_a], 0)), 2, 0)
+                    d_params["a"], jnp.concatenate([dr_a, df_a], 0)), 2, 0)
                 rb, fb = jnp.split(D.apply(
-                    d_params["b"], jnp.concatenate([real_b, fake_b], 0)), 2, 0)
-                la = L.gan_loss_d(ra, fa, loss_cfg.gan_mode)
-                lb = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
+                    d_params["b"], jnp.concatenate([dr_b, df_b], 0)), 2, 0)
             else:
-                la = L.gan_loss_d(D.apply(d_params["a"], real_a),
-                                  D.apply(d_params["a"], fake_a),
-                                  loss_cfg.gan_mode)
-                lb = L.gan_loss_d(D.apply(d_params["b"], real_b),
-                                  D.apply(d_params["b"], fake_b),
-                                  loss_cfg.gan_mode)
+                ra = D.apply(d_params["a"], dr_a)
+                fa = D.apply(d_params["a"], df_a)
+                rb = D.apply(d_params["b"], dr_b)
+                fb = D.apply(d_params["b"], df_b)
+            la = L.gan_loss_d(ra, fa, loss_cfg.gan_mode)
+            lb = L.gan_loss_d(rb, fb, loss_cfg.gan_mode)
             total = la + lb
             r1 = jnp.float32(0.0)
             if loss_cfg.r1_gamma > 0:
                 r1 = loss_cfg.r1_gamma * (
-                    L.r1_penalty(D.apply, d_params["a"], real_a)
-                    + L.r1_penalty(D.apply, d_params["b"], real_b))
+                    L.r1_penalty(D.apply, d_params["a"], dr_a)
+                    + L.r1_penalty(D.apply, d_params["b"], dr_b))
                 total = total + r1
-            return total, {"d_a": la, "d_b": lb, "d_r1": r1}
+            daux = {"d_a": la, "d_b": lb, "d_r1": r1}
+            if loss_cfg.ada_target > 0:
+                daux["ada_rt"] = ada.ada_heuristic((ra, rb), loss_cfg.gan_mode)
+            return total, daux
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
@@ -301,6 +327,14 @@ class UNITTrainer:
                                             state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
+        # ADA controller: identical on every device (pmean'd heuristic)
+        ada_p = state.ada_p
+        if loss_cfg.ada_target > 0:
+            rt = jax.lax.pmean(d_aux["ada_rt"], axis)
+            ada_p = ada.ada_update_p(
+                state.ada_p, rt, loss_cfg.ada_target,
+                loss_cfg.ada_speed_kimg, cfg.data.batch_size)
+
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss, "g_adv": aux["g_adv"],
             "g_rec": aux["g_rec"], "g_cc": aux["g_cc"], "g_kl": aux["g_kl"],
@@ -308,18 +342,26 @@ class UNITTrainer:
             "d_b": d_aux["d_b"], "d_r1": d_aux["d_r1"],
             "lr": self._lr(state.step),
         }
+        if self._ada:
+            metrics["ada_p"] = ada_p
+            if loss_cfg.ada_target > 0:
+                metrics["ada_rt"] = d_aux["ada_rt"]
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float32),
                                    metrics), axis)
         return state.replace(
             g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
-            ema=ema, step=state.step + 1), metrics
+            ema=ema, step=state.step + 1, ada_p=ada_p), metrics
 
     def _build_train_step(self):
         abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
         specs = self._specs_for(abstract)
         names = ("g_loss", "d_loss", "g_adv", "g_rec", "g_cc", "g_kl",
                  "g_lpips", "d_a", "d_b", "d_r1", "lr")
+        if self._ada:
+            names += ("ada_p",)
+            if self.cfg.loss.ada_target > 0:
+                names += ("ada_rt",)
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
             in_specs=(specs, P(self.axis), P(self.axis)),

@@ -21,6 +21,7 @@ from uig.kernels.augment import augment
 from uig.models.patch_disc import PatchDiscriminator
 from uig.models.vaegan import VAEGANGenerator
 from uig.runtime.prng import fold_step, split_named
+from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.state import lr_schedule, make_optimizer
@@ -34,6 +35,8 @@ class VAEGANState(struct.PyTreeNode):
     ema: dict  # {"a2b": generator params}
     rng: jax.Array
     step: jax.Array
+    # ADA augmentation probability (train/ada.py); () f32 carried state
+    ada_p: jax.Array = None
 
 
 class VAEGANTrainer:
@@ -68,6 +71,12 @@ class VAEGANTrainer:
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
         self.kl_weight = m.vq_beta  # reuse the commitment-weight knob for KL
+        self._ada = ada.ada_enabled(cfg.loss)
+        self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
+        if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
+            raise ValueError(
+                "loss.ada_target needs a GAN mode with a decision boundary; "
+                "use fixed-p DiffAugment (ada_p_init>0, ada_target=0) with wgan")
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -93,6 +102,7 @@ class VAEGANTrainer:
             ema={"a2b": jax.tree_util.tree_map(jnp.copy, g_params)},
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ada_p=jnp.asarray(self.cfg.loss.ada_p_init, jnp.float32),
         )
 
     def init_state(self, rng: jax.Array) -> VAEGANState:
@@ -107,7 +117,7 @@ class VAEGANTrainer:
         return VAEGANState(
             g_params=bc(state_like.g_params), d_params=bc(state_like.d_params),
             g_opt=bc(state_like.g_opt), d_opt=bc(state_like.d_opt),
-            ema=bc(state_like.ema), rng=rep, step=rep)
+            ema=bc(state_like.ema), rng=rep, step=rep, ada_p=rep)
 
     def state_shardings(self):
         from jax.sharding import NamedSharding
@@ -144,11 +154,21 @@ class VAEGANTrainer:
         g_apply = (jax.checkpoint(self.generator.apply) if self._remat == "full"
                    else self.generator.apply)
 
+        # ADA: every image D sees goes through the gated differentiable
+        # augmentation pipeline (train/ada.py) — reals and reconstructions
+        # (G gets gradients through its copy).
+        if self._ada:
+            ada_key = jax.random.fold_in(step_key, 0xADA)
+            T = lambda v, i: ada.diff_augment(
+                v, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+        else:
+            T = lambda v, i: v
+
         def g_loss_fn(g_params):
             out = g_apply(g_params, x, keys["latent"])
             rec = L.l1_loss(x, out.recon)
             adv = L.gan_loss_g(
-                self.discriminator.apply(state.d_params, out.recon),
+                self.discriminator.apply(state.d_params, T(out.recon, 0)),
                 loss_cfg.gan_mode)
             total = rec + self.kl_weight * out.kl + adv_w * adv
             lpips = jnp.float32(0.0)
@@ -166,6 +186,7 @@ class VAEGANTrainer:
         ema = ema_update(state.ema, {"a2b": g_params}, cfg.opt.ema_decay)
 
         fake = jax.lax.stop_gradient(aux["recon"])
+        dr, df = T(x, 1), T(fake, 2)
 
         def d_loss_fn(d_params):
             if cfg.model.fused_applies:
@@ -173,14 +194,16 @@ class VAEGANTrainer:
                 # ModelConfig.fused_applies; equivalence tested for the
                 # CycleGAN/CUT trainers which share this structure)
                 r, f = jnp.split(self.discriminator.apply(
-                    d_params, jnp.concatenate([x, fake], 0)), 2, 0)
-                return L.gan_loss_d(r, f, loss_cfg.gan_mode), {}
-            return L.gan_loss_d(
-                self.discriminator.apply(d_params, x),
-                self.discriminator.apply(d_params, fake),
-                loss_cfg.gan_mode), {}
+                    d_params, jnp.concatenate([dr, df], 0)), 2, 0)
+            else:
+                r = self.discriminator.apply(d_params, dr)
+                f = self.discriminator.apply(d_params, df)
+            daux = {}
+            if loss_cfg.ada_target > 0:
+                daux["ada_rt"] = ada.ada_heuristic(r, loss_cfg.gan_mode)
+            return L.gan_loss_d(r, f, loss_cfg.gan_mode), daux
 
-        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt_new = self.d_tx.update(d_grads, state.d_opt,
@@ -192,22 +215,40 @@ class VAEGANTrainer:
         d_params, d_opt = _select_tree(
             disc_on, (d_params_new, d_opt_new), (state.d_params, state.d_opt))
 
+        # ADA controller: frozen during D warmup (the heuristic would read
+        # an untrained D); identical on every device (pmean'd heuristic)
+        ada_p = state.ada_p
+        if loss_cfg.ada_target > 0:
+            rt = jax.lax.pmean(d_aux["ada_rt"], axis)
+            new_p = ada.ada_update_p(
+                state.ada_p, rt, loss_cfg.ada_target,
+                loss_cfg.ada_speed_kimg, cfg.data.batch_size)
+            ada_p = jnp.where(disc_on > 0, new_p, state.ada_p)
+
         metrics = {
             "g_loss": g_loss, "d_loss": d_loss * disc_on, "rec": aux["rec"],
             "kl": aux["kl"], "g_adv": aux["g_adv"], "lpips": aux["lpips"],
             "lr": self._lr(state.step),
         }
+        if self._ada:
+            metrics["ada_p"] = ada_p
+            if loss_cfg.ada_target > 0:
+                metrics["ada_rt"] = d_aux["ada_rt"]
         metrics = jax.lax.pmean(
             jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float32),
                                    metrics), axis)
         return state.replace(
             g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
-            ema=ema, step=state.step + 1), metrics
+            ema=ema, step=state.step + 1, ada_p=ada_p), metrics
 
     def _build_train_step(self):
         abstract = jax.eval_shape(self._abstract_state, jax.random.PRNGKey(0))
         specs = self._specs_for(abstract)
         names = ("g_loss", "d_loss", "rec", "kl", "g_adv", "lpips", "lr")
+        if self._ada:
+            names += ("ada_p",)
+            if self.cfg.loss.ada_target > 0:
+                names += ("ada_rt",)
         shmapped = jax.shard_map(
             self._device_step, mesh=self.mesh,
             in_specs=(specs, P(self.axis), P(self.axis)),
