@@ -22,7 +22,8 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | unit | munit | stargan | vqgan | vaegan | vqgan_prior
+    # cyclegan | cut | unit | munit | stargan | ugatit | vqgan | vaegan |
+    # vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
@@ -131,6 +132,11 @@ class ModelConfig:
     # input pipeline (data.domain_dirs for folders; synthetic provides
     # procedural domains).
     num_domains: int = 3
+    # U-GAT-IT (attention member of the lineage — models/ugatit.py): depth
+    # of the per-domain GLOBAL and LOCAL spectral-norm CAM discriminators
+    # (published config: 7 and 5 — i.e. 5 and 3 stride-2 convs).
+    ugatit_d_global_layers: int = 7
+    ugatit_d_local_layers: int = 5
     # CUT (rung 4)
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256
@@ -169,6 +175,9 @@ class LossConfig:
     # (canonical λ_rec = 10, same value).
     lambda_cls: float = 1.0
     lambda_gp: float = 10.0
+    # U-GAT-IT CAM weight: BCE on the generators' attention-classifier
+    # logits (source domain -> 1, identity pass -> 0); published 1000.
+    lambda_cam: float = 1000.0
     # R1 gradient penalty on D at real inputs (γ/2·E‖∇ₓD(x)‖²); 0 disables.
     # The D-regularization knob for small-data runs where D overpowers G
     # (round-1 5000-step finding: d_loss→0.04 and FID drifts back up).

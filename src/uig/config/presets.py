@@ -188,6 +188,26 @@ def _stargan128() -> Config:
     )
 
 
+def _ugatit256() -> Config:
+    # attention member of the lineage (U-GAT-IT, Kim et al. 2019, "light"):
+    # CAM-attended generator with AdaLIN decoder, per-domain global (7-layer)
+    # + local (5-layer) spectral-norm CAM discriminators. Canonical recipe:
+    # 256², 4 res blocks, LSGAN, λ_cycle=10, λ_identity=10 (absolute — here
+    # lambda_identity is the ×lambda_cycle multiplier, so 1.0), λ_cam=1000,
+    # Adam 1e-4 (0.5, 0.999) + weight decay 1e-4, resize-286/crop-256.
+    return Config(
+        model=ModelConfig(kind="ugatit", image_size=256, n_res_blocks=4,
+                          ugatit_d_global_layers=7, ugatit_d_local_layers=5),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
+                        lambda_identity=1.0, lambda_cam=1000.0),
+        opt=OptConfig(lr=1e-4, weight_decay=1e-4, total_steps=200_000,
+                      decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="ugatit256"),
+    )
+
+
 def _vaegan256() -> Config:
     # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
     return Config(
@@ -238,6 +258,7 @@ PRESETS = {
     "unit256": _unit256,
     "munit256": _munit256,
     "stargan128": _stargan128,
+    "ugatit256": _ugatit256,
     "discogan64": _discogan64,
     "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,

@@ -232,6 +232,13 @@ class _SyntheticDomain:
         return self.n
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        # Bounds-check so the legacy sequence-iteration protocol terminates:
+        # without the IndexError, ``for img in domain`` (iter() falls back to
+        # __getitem__(0), (1), ... on classes with no __iter__) would spin
+        # forever generating procedural images.
+        if not 0 <= idx < self.n:
+            raise IndexError(
+                f"synthetic domain index {idx} out of range [0, {self.n})")
         # zlib.crc32, NOT hash(): python string hashing is randomized per
         # process, which would break cross-process reproducibility (resume,
         # multi-host) of the synthetic stream.

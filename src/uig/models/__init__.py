@@ -3,6 +3,7 @@ from uig.models.munit import MUNITGenerator
 from uig.models.patch_disc import MultiScaleDiscriminator, PatchDiscriminator
 from uig.models.resnet_gen import ResNetGenerator
 from uig.models.stargan import StarGANDiscriminator, StarGANGenerator
+from uig.models.ugatit import UGATITDiscriminator, UGATITGenerator
 from uig.models.unit import UNITGenerator
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "MUNITGenerator",
     "StarGANGenerator",
     "StarGANDiscriminator",
+    "UGATITGenerator",
+    "UGATITDiscriminator",
 ]

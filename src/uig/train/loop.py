@@ -53,6 +53,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.stargan_trainer import StarGANTrainer
 
         return StarGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "ugatit":
+        from uig.train.ugatit_trainer import UGATITTrainer
+
+        return UGATITTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "vqgan":
         from uig.train.vqgan_trainer import VQGANTrainer
 

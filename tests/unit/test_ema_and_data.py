@@ -23,6 +23,22 @@ def test_synthetic_deterministic_and_distinct():
     assert not np.array_equal(ds.domain_a[0], ds.domain_b[0])
 
 
+def test_synthetic_domain_is_a_finite_sequence():
+    # iter() on a __getitem__-only class uses the legacy sequence protocol,
+    # which terminates ONLY on IndexError — regression for the infinite
+    # `for img in domain` loop (caught by a hung U-GAT-IT CLI test).
+    ds = SyntheticUnpairedDataset(n=4, load_size=16, seed=0)
+    imgs = list(ds.domain_a)
+    assert len(imgs) == 4
+    np.testing.assert_array_equal(imgs[3], ds.domain_a[3])
+    try:
+        ds.domain_a[4]
+    except IndexError:
+        pass
+    else:
+        raise AssertionError("out-of-range index did not raise")
+
+
 def test_domain_stream_pure_function_of_position():
     s = _DomainStream(n=7, seed=3, host_index=0, host_count=1)
     first = s.indices_at(0, 20)
