@@ -26,6 +26,7 @@ RUNGS = {
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3
     "stargan128": ("stargan128", [], 12),
+    "ugatit256": ("ugatit256", [], 8),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--source", default="auto",
                     choices=["auto", "folders", "packed", "tfrecord"],
                     help="input format (auto-detected by default)")
+    tr.add_argument("--attention-dir", default=None,
+                    help="attention (kind=ugatit) runs: also write each "
+                         "image's CAM attention heatmap (grayscale PNG, "
+                         "per-image normalized) to this directory")
     _add_common(tr)
 
     ev = sub.add_parser("eval-fid", help="FID of translated eval images")
@@ -113,7 +117,8 @@ def main(argv=None) -> int:
                           step=args.step, overrides=args.overrides,
                           source=args.source, style_seed=args.style_seed,
                           style_ref=args.style_ref,
-                          target_domain=args.target_domain)
+                          target_domain=args.target_domain,
+                          attention_dir=args.attention_dir)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
         return 0
     if args.cmd == "pack":

@@ -42,7 +42,8 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
                   step: int | None = None, overrides=(),
                   source: str = "auto", style_seed: int | None = None,
                   style_ref: str | None = None,
-                  target_domain: int | None = None) -> int:
+                  target_domain: int | None = None,
+                  attention_dir: str | None = None) -> int:
     """``input_dir`` may be an image folder, a packed ``.npy``, or a
     tfrecord file/dir — every trainable source is servable (resolved by
     uig.data.datasets.resolve_dataset).
@@ -55,7 +56,13 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
     mode, deterministic without flags.
 
     Multi-domain runs (kind=stargan): ``target_domain`` picks the integer
-    domain translated INTO (default 0); ``direction`` is ignored."""
+    domain translated INTO (default 0); ``direction`` is ignored.
+
+    Attention runs (kind=ugatit): ``attention_dir`` additionally writes
+    each input's CAM attention heatmap (the interpretability surface the
+    U-GAT-IT paper ships) as a per-image-normalized grayscale PNG at the
+    generator's attention resolution (H/4 × W/4), nearest-upsampled to the
+    output size so it overlays the translation."""
     from PIL import Image
 
     from uig.data.datasets import item_names, resolve_dataset
@@ -67,6 +74,12 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         raise ValueError(
             "--target-domain applies only to multi-domain (kind=stargan) "
             f"runs; this run is kind={cfg.model.kind!r}")
+    if attention_dir is not None and cfg.model.kind != "ugatit":
+        raise ValueError(
+            "--attention-dir applies only to attention (kind=ugatit) runs; "
+            f"this run is kind={cfg.model.kind!r}")
+    if attention_dir is not None:
+        os.makedirs(attention_dir, exist_ok=True)
     ds = resolve_dataset(input_dir, cfg.data.load_size, source)
     names = item_names(ds)
     os.makedirs(output_dir, exist_ok=True)
@@ -115,4 +128,14 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
             Image.fromarray(img).save(
                 os.path.join(output_dir, f"{names[i]}.png"))
             done += 1
+        if attention_dir is not None:
+            heat = np.asarray(trainer.attention_heatmap(
+                state.ema, x, direction))[: len(idxs), :, :, 0]
+            s = cfg.model.image_size
+            for i, h in zip(idxs, heat):
+                lo, hi = float(h.min()), float(h.max())
+                h8 = ((h - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+                Image.fromarray(h8, mode="L").resize(
+                    (s, s), Image.NEAREST).save(
+                    os.path.join(attention_dir, f"{names[i]}.png"))
     return done

@@ -152,6 +152,13 @@ class LossConfig:
     lambda_nce: float = 1.0  # CUT
     nce_temperature: float = 0.07
     nce_include_identity: bool = True  # CUT: NCE on idt pass (Y->Y)
+    # FastCUT's flip-equivariance regularizer: with p=0.5 per step the whole
+    # batch is horizontally flipped before the generator, and the NCE QUERY
+    # features (from G's output) are flipped back before patch matching —
+    # the deliberate q/k misalignment that pressures G toward
+    # flip-equivariance. Canonical FastCUT = this + nce_include_identity
+    # False + lambda_nce 10 (the fastcut256 preset).
+    nce_flip_equivariance: bool = False
     # UNIT: weight on all four KL(N(mu,I)‖N(0,I)) terms (canonical config
     # value 0.01); the recon/cycle L1 weights reuse lambda_cycle (=10 in
     # the canonical UNIT recipe for both)

@@ -115,6 +115,26 @@ def _cut256_multihost() -> Config:
     )
 
 
+def _fastcut256() -> Config:
+    # FastCUT (Park et al. 2020, same paper as CUT): the lighter recipe —
+    # NO identity NCE pass, lambda_NCE=10, flip-equivariance regularizer
+    # (loss.nce_flip_equivariance). ~×2 faster per step than CUT (one
+    # generator+one encoder apply fewer) at slightly weaker quality; the
+    # published second configuration of the CUT paper.
+    return Config(
+        model=ModelConfig(kind="cut", image_size=256, n_res_blocks=9,
+                          head_s2d=4),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=0.0,
+                        lambda_identity=0.0, lambda_nce=10.0,
+                        nce_include_identity=False,
+                        nce_flip_equivariance=True),
+        opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=16, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="fastcut256"),
+    )
+
+
 def _discogan64() -> Config:
     # DiscoGAN (Kim et al. 2017) is architecturally the CycleGAN topology
     # with the original (vanilla/BCE) GAN loss and NO identity term — it
@@ -255,6 +275,7 @@ PRESETS = {
     "cyclegan128": _cyclegan128,
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
+    "fastcut256": _fastcut256,
     "unit256": _unit256,
     "munit256": _munit256,
     "stargan128": _stargan128,

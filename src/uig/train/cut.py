@@ -231,10 +231,17 @@ class CUTTrainer:
         feats = self._enc()(g_params["gen"], jnp.concatenate(imgs, 0))
         return [jnp.split(f, len(imgs), 0) for f in feats]
 
-    def _nce_from_feats(self, g_params, f_src, f_dst, key):
+    def _nce_from_feats(self, g_params, f_src, f_dst, key, flip_q=None):
+        """``flip_q``: FastCUT flip-equivariance — () bool; where true, the
+        QUERY features (f_dst, from G's output on the flipped input) are
+        flipped back along W before patch matching while the keys stay
+        as-is (the published q/k misalignment that regularizes G toward
+        flip-equivariance)."""
         cfg = self.cfg
         total = jnp.float32(0.0)
         for i, (fs, fd) in enumerate(zip(f_src, f_dst)):
+            if flip_q is not None:
+                fd = jnp.where(flip_q, fd[:, :, ::-1, :], fd)
             b, h, w, _ = fs.shape
             n = min(self.n_patches, h * w)
             idx = sample_patch_ids(jax.random.fold_in(key, i), b, h * w, n)
@@ -243,13 +250,13 @@ class CUTTrainer:
             total = total + L.patch_nce_loss(q, k, cfg.loss.nce_temperature)
         return total / len(self.taps)
 
-    def _nce(self, g_params, src_img, dst_img, key):
+    def _nce(self, g_params, src_img, dst_img, key, flip_q=None):
         """PatchNCE between encoder features of src and dst images
         (encoder-only forwards — the decoder half is skipped)."""
         enc = self._enc()
         f_src = enc(g_params["gen"], src_img)
         f_dst = enc(g_params["gen"], dst_img)
-        return self._nce_from_feats(g_params, f_src, f_dst, key)
+        return self._nce_from_feats(g_params, f_src, f_dst, key, flip_q)
 
     def _device_step(self, state: CUTState, real_a, real_b):
         cfg = self.cfg
@@ -274,6 +281,17 @@ class CUTTrainer:
 
         fuse = cfg.model.fused_applies
 
+        # FastCUT flip-equivariance: with p=0.5 the WHOLE batch (both
+        # domains — the canonical implementation flips its concatenated
+        # real tensor) is mirrored for this step; the NCE query features
+        # are flipped back inside _nce_from_feats. D trains on the
+        # flipped images — mirroring is domain-preserving.
+        flip_q = None
+        if loss_cfg.nce_flip_equivariance:
+            flip_q = jax.random.bernoulli(jax.random.fold_in(step_key, 0xF11))
+            real_a = jnp.where(flip_q, real_a[:, :, ::-1, :], real_a)
+            real_b = jnp.where(flip_q, real_b[:, :, ::-1, :], real_b)
+
         # ADA: augment every D input (train/ada.py) — the fake in the G
         # adversarial term, and the real/pool-fake pair in the D loss.
         if self._ada:
@@ -295,24 +313,25 @@ class CUTTrainer:
                     g_params, [real_a, fake_b, real_b, idt_b])
                 nce = self._nce_from_feats(
                     g_params, [t[0] for t in taps], [t[1] for t in taps],
-                    keys["nce"])
+                    keys["nce"], flip_q)
                 nce_idt = self._nce_from_feats(
                     g_params, [t[2] for t in taps], [t[3] for t in taps],
-                    keys["nce_idt"])
+                    keys["nce_idt"], flip_q)
             else:
                 fake_b = self._gen_apply(g_params["gen"], real_a)
                 if fuse:
                     taps = self._enc_taps(g_params, [real_a, fake_b])
                     nce = self._nce_from_feats(
                         g_params, [t[0] for t in taps], [t[1] for t in taps],
-                        keys["nce"])
+                        keys["nce"], flip_q)
                 else:
-                    nce = self._nce(g_params, real_a, fake_b, keys["nce"])
+                    nce = self._nce(g_params, real_a, fake_b, keys["nce"],
+                                    flip_q)
                 nce_idt = jnp.float32(0.0)
                 if loss_cfg.nce_include_identity:
                     idt_b = self._gen_apply(g_params["gen"], real_b)
                     nce_idt = self._nce(g_params, real_b, idt_b,
-                                        keys["nce_idt"])
+                                        keys["nce_idt"], flip_q)
             adv = L.gan_loss_g(D.apply(state.d_params, T(fake_b, 0)),
                                loss_cfg.gan_mode)
             total = adv + loss_cfg.lambda_nce * nce

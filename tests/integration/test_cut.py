@@ -80,3 +80,67 @@ def test_cut_rejects_out_of_range_nce_layers():
         cfg, model=dataclasses.replace(cfg.model, nce_layers=(90, 99)))
     with pytest.raises(ValueError, match="out of range"):
         CUTTrainer(all_bad, make_mesh(1))
+
+
+def test_flip_equivariance_feature_flip_semantics():
+    """flip_q=True must equal externally pre-flipping the QUERY features —
+    and the keys must NOT be flipped."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(1)
+    tr = CUTTrainer(_cfg(2), mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    g = jax.device_get(state.g_params)
+    # per-tap channel dims must match the projection heads' init
+    from uig.models import ResNetGenerator
+
+    shapes = [f.shape for f in tr.generator.apply(
+        g["gen"], jnp.zeros((2, 16, 16, 3)), tr.taps,
+        method=ResNetGenerator.encode_features)]
+    rng = np.random.default_rng(1)
+    f_src = [jnp.asarray(rng.normal(size=s).astype(np.float32))
+             for s in shapes]
+    f_dst = [jnp.asarray(rng.normal(size=s).astype(np.float32))
+             for s in shapes]
+    key = jax.random.PRNGKey(7)
+    on = tr._nce_from_feats(g, f_src, f_dst, key,
+                            flip_q=jnp.asarray(True))
+    pre = tr._nce_from_feats(g, f_src, [f[:, :, ::-1, :] for f in f_dst],
+                             key, flip_q=None)
+    np.testing.assert_allclose(float(on), float(pre), rtol=1e-6)
+    off = tr._nce_from_feats(g, f_src, f_dst, key,
+                             flip_q=jnp.asarray(False))
+    base = tr._nce_from_feats(g, f_src, f_dst, key, flip_q=None)
+    np.testing.assert_allclose(float(off), float(base), rtol=1e-6)
+    assert abs(float(on) - float(base)) > 1e-7  # the flip actually matters
+
+
+def test_fastcut_preset_trains():
+    """FastCUT recipe: no identity NCE pass, lambda_nce=10,
+    flip-equivariance — steps run, metrics finite, nce_idt stays zero."""
+    cfg = _cfg(2)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(
+            cfg.loss, nce_include_identity=False, lambda_nce=10.0,
+            nce_flip_equivariance=True))
+    mesh = make_mesh(2)
+    tr = CUTTrainer(cfg, mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+    batch = shard_batch(mesh, (a, b))
+    for _ in range(4):
+        state, m = tr.train_step(state, batch)
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        assert vals["nce_idt"] == 0.0
+        assert vals["nce"] > 0
+
+    from uig.config import get_preset
+
+    p = get_preset("fastcut256")
+    assert p.model.kind == "cut"
+    assert not p.loss.nce_include_identity
+    assert p.loss.nce_flip_equivariance
+    assert p.loss.lambda_nce == 10.0

@@ -172,8 +172,15 @@ def test_cli_roundtrip(tmp_path):
     assert len(os.listdir(out2)) == 4
 
     out3 = tmp_path / "out_again"
+    att = tmp_path / "attention"
     assert main(["translate", "--run", run_dir,
                  "--input", str(tmp_path / "train_a"),
-                 "--output", str(out3), "--direction", "a2b"]) == 0
+                 "--output", str(out3), "--direction", "a2b",
+                 "--attention-dir", str(att)]) == 0
     for f in files:
         assert (out1 / f).read_bytes() == (out3 / f).read_bytes()
+    # CAM heatmaps: one grayscale PNG per input at the output size
+    heats = sorted(os.listdir(att))
+    assert heats == files
+    img = Image.open(att / heats[0])
+    assert img.mode == "L" and img.size == (32, 32)
