@@ -22,6 +22,7 @@ RUNGS = {
     "cyclegan128": ("cyclegan128", [], 16),
     "cyclegan256": ("cyclegan256_dp", [], 16),
     "cut256": ("cut256_multihost", ["parallel.multihost=False"], 16),
+    "fastcut256": ("fastcut256", [], 16),
     "unit256": ("unit256", [], 16),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3

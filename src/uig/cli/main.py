@@ -78,6 +78,22 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--output", required=True, help=".npy output path")
     pk.add_argument("--load-size", type=int, required=True)
 
+    ex = sub.add_parser(
+        "export", help="freeze the EMA translate path into a standalone "
+                       "StableHLO serving artifact (jax.export)")
+    ex.add_argument("--run-dir", required=True)
+    ex.add_argument("--output-dir", required=True)
+    ex.add_argument("--direction", default="a2b", choices=["a2b", "b2a"])
+    ex.add_argument("--batch-size", type=int, default=8)
+    ex.add_argument("--step", type=int, default=None)
+    ex.add_argument("--target-domain", type=int, default=None,
+                    help="multi-domain (kind=stargan) runs: bake this "
+                         "target domain into the artifact")
+    ex.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering platforms baked into "
+                         "the artifact (default: tpu,cpu)")
+    _add_common(ex)
+
     sm = sub.add_parser(
         "sample", help="unconditional generation (vaegan prior / vqgan codes)")
     sm.add_argument("--run-dir", required=True)
@@ -120,6 +136,16 @@ def main(argv=None) -> int:
                           target_domain=args.target_domain,
                           attention_dir=args.attention_dir)
         print(json.dumps({"translated": n, "output_dir": args.output_dir}))
+        return 0
+    if args.cmd == "export":
+        from uig.serving import export_translate
+
+        meta = export_translate(
+            args.run_dir, args.output_dir, direction=args.direction,
+            batch_size=args.batch_size, step=args.step,
+            overrides=args.overrides, target_domain=args.target_domain,
+            platforms=tuple(p for p in args.platforms.split(",") if p))
+        print(json.dumps({"exported": args.output_dir, "meta": meta}))
         return 0
     if args.cmd == "pack":
         from uig.data.datasets import FolderDataset, PackedDataset
