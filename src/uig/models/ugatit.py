@@ -128,16 +128,21 @@ class AdaLIN(nn.Module):
         c = x.shape[-1]
         rho = self.param("rho", nn.initializers.constant(self.rho_init), (c,))
         x32 = x.astype(jnp.float32)
+        # UNBIASED variances (×N/(N−1)): the canonical implementation uses
+        # torch.var's default here — unlike its (biased) InstanceNorm2d
+        # encoder norms — and weight-import parity requires the same quirk.
+        n_in = x.shape[1] * x.shape[2]
+        n_ln = n_in * c
         # IN moments: per (example, channel) over H, W
         m_in = jnp.mean(x32, axis=(1, 2), keepdims=True)
         v_in = jnp.maximum(
             jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
-            - jnp.square(m_in), 0.0)
+            - jnp.square(m_in), 0.0) * (n_in / (n_in - 1))
         # LN moments: per example over H, W, C
         m_ln = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
         v_ln = jnp.maximum(
             jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
-            - jnp.square(m_ln), 0.0)
+            - jnp.square(m_ln), 0.0) * (n_ln / (n_ln - 1))
         a_in = (x32 - m_in) * jax.lax.rsqrt(v_in + self.eps)
         a_ln = (x32 - m_ln) * jax.lax.rsqrt(v_ln + self.eps)
         y = rho * a_in + (1.0 - rho) * a_ln
@@ -161,14 +166,17 @@ class ILN(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
         x32 = x.astype(jnp.float32)
+        # unbiased variances — the canonical torch.var quirk (see AdaLIN)
+        n_in = x.shape[1] * x.shape[2]
+        n_ln = n_in * c
         m_in = jnp.mean(x32, axis=(1, 2), keepdims=True)
         v_in = jnp.maximum(
             jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
-            - jnp.square(m_in), 0.0)
+            - jnp.square(m_in), 0.0) * (n_in / (n_in - 1))
         m_ln = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
         v_ln = jnp.maximum(
             jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
-            - jnp.square(m_ln), 0.0)
+            - jnp.square(m_ln), 0.0) * (n_ln / (n_ln - 1))
         a_in = (x32 - m_in) * jax.lax.rsqrt(v_in + self.eps)
         a_ln = (x32 - m_ln) * jax.lax.rsqrt(v_ln + self.eps)
         y = rho * a_in + (1.0 - rho) * a_ln

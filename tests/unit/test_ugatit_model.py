@@ -27,14 +27,16 @@ def _x(b=2, s=8, c=4, seed=0):
 
 
 def _manual_in(x, eps=1e-5):
+    # ddof=1: AdaLIN/ILN reproduce the canonical implementation's
+    # torch.var (unbiased) quirk
     m = x.mean(axis=(1, 2), keepdims=True)
-    v = x.var(axis=(1, 2), keepdims=True)
+    v = x.var(axis=(1, 2), keepdims=True, ddof=1)
     return (x - m) / np.sqrt(v + eps)
 
 
 def _manual_ln(x, eps=1e-5):
     m = x.mean(axis=(1, 2, 3), keepdims=True)
-    v = x.var(axis=(1, 2, 3), keepdims=True)
+    v = x.var(axis=(1, 2, 3), keepdims=True, ddof=1)
     return (x - m) / np.sqrt(v + eps)
 
 
