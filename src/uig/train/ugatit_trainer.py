@@ -100,12 +100,13 @@ class UGATITTrainer:
         self.mesh = mesh
         self.axis = cfg.parallel.data_axis
         m = cfg.model
-        if m.fused_applies:
-            raise NotImplementedError(
-                "model.fused_applies is not supported for kind=ugatit: the "
-                "CAM losses need per-pass cam logits with different BCE "
-                "targets, so the same-params batching identity does not "
-                "pay; unset it")
+        # model.fused_applies batches each generator's translate+identity
+        # passes at 2B and each discriminator's real+fake passes at 2B —
+        # every per-example op (IN/AdaLIN moments, CAM pools, γ/β MLP) makes
+        # the batching identity exact, and the per-pass CAM logits come back
+        # out of a split. The SN power iteration is input-independent given
+        # W, so one update on the combined pass is the same one update.
+        self._fuse = m.fused_applies
         dt = jnp.dtype(m.compute_dtype)
         self._remat = remat_mode(m.remat)
         gkw = dict(
@@ -252,12 +253,24 @@ class UGATITTrainer:
 
         # ---------------- G update (both generators, one optimizer) --------
         def g_loss_fn(g_params):
-            fake_b, cam_ab, _ = g_apply(g_params["a2b"], real_a)
-            fake_a, cam_ba, _ = g_apply(g_params["b2a"], real_b)
+            if self._fuse:
+                # translate+identity per generator as ONE 2B apply; cycle
+                # passes depend on stage-1 outputs so they stay 1B
+                out_b, cam_b, _ = g_apply(
+                    g_params["a2b"], jnp.concatenate([real_a, real_b], 0))
+                fake_b, idt_b = jnp.split(out_b, 2, 0)
+                cam_ab, cam_bb = jnp.split(cam_b, 2, 0)
+                out_a, cam_a, _ = g_apply(
+                    g_params["b2a"], jnp.concatenate([real_b, real_a], 0))
+                fake_a, idt_a = jnp.split(out_a, 2, 0)
+                cam_ba, cam_aa = jnp.split(cam_a, 2, 0)
+            else:
+                fake_b, cam_ab, _ = g_apply(g_params["a2b"], real_a)
+                fake_a, cam_ba, _ = g_apply(g_params["b2a"], real_b)
+                idt_a, cam_aa, _ = g_apply(g_params["b2a"], real_a)
+                idt_b, cam_bb, _ = g_apply(g_params["a2b"], real_b)
             rec_a, _, _ = g_apply(g_params["b2a"], fake_b)
             rec_b, _, _ = g_apply(g_params["a2b"], fake_a)
-            idt_a, cam_aa, _ = g_apply(g_params["b2a"], real_a)
-            idt_b, cam_bb, _ = g_apply(g_params["a2b"], real_b)
 
             adv = jnp.float32(0.0)
             tfa, tfb = T(fake_a, 0), T(fake_b, 1)
@@ -313,16 +326,28 @@ class UGATITTrainer:
             real_logits = []
             for key, dom, _ in _D_KEYS:
                 D = self._disc(key)
-                # the real pass advances the SN power iteration (once per
-                # step per discriminator)
-                (r_logit, r_cam, _), upd = D.apply(
-                    {"params": d_params[key]["params"],
-                     "sn": state.d_sn[key]},
-                    dr[dom], True, mutable=["sn"])
+                if self._fuse:
+                    # real+fake as ONE 2B apply; the power iteration is
+                    # input-independent given W, so advancing it on the
+                    # combined pass IS the once-per-step update
+                    (logit, cam, _), upd = D.apply(
+                        {"params": d_params[key]["params"],
+                         "sn": state.d_sn[key]},
+                        jnp.concatenate([dr[dom], df[dom]], 0), True,
+                        mutable=["sn"])
+                    r_logit, f_logit = jnp.split(logit, 2, 0)
+                    r_cam, f_cam = jnp.split(cam, 2, 0)
+                else:
+                    # the real pass advances the SN power iteration (once
+                    # per step per discriminator)
+                    (r_logit, r_cam, _), upd = D.apply(
+                        {"params": d_params[key]["params"],
+                         "sn": state.d_sn[key]},
+                        dr[dom], True, mutable=["sn"])
+                    f_logit, f_cam, _ = D.apply(
+                        {"params": d_params[key]["params"],
+                         "sn": state.d_sn[key]}, df[dom], False)
                 new_sn[key] = jax.lax.stop_gradient(upd["sn"])
-                f_logit, f_cam, _ = D.apply(
-                    {"params": d_params[key]["params"],
-                     "sn": state.d_sn[key]}, df[dom], False)
                 total = total + L.gan_loss_d(r_logit, f_logit,
                                              loss_cfg.gan_mode)
                 cam_total = cam_total + L.gan_loss_d(r_cam, f_cam,

@@ -206,3 +206,47 @@ def test_top_level_api_lazy_exports():
     assert callable(uig.make_mesh)
     assert callable(uig.fit)
     assert uig.Config is not None
+
+
+def test_ugatit_fused_applies_matches_separate():
+    """U-GAT-IT under model.fused_applies: translate+identity per generator
+    as one 2B apply (per-pass CAM logits split back out) and each D's
+    real+fake as one 2B apply (SN power iteration is input-independent
+    given W, so the combined-pass update is the same update)."""
+    from uig.config import apply_overrides, get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.ugatit_trainer import UGATITTrainer
+
+    def cfg(fused):
+        c = get_preset("ugatit256")
+        return apply_overrides(c, [
+            "model.image_size=32", "model.g_base_features=8",
+            "model.d_base_features=4", "model.n_res_blocks=1",
+            "model.ugatit_d_global_layers=4", "model.ugatit_d_local_layers=3",
+            "model.compute_dtype=float32", f"model.fused_applies={fused}",
+            "data.batch_size=2", "data.load_size=32", "opt.optimizer=sgd",
+            "parallel.multihost=false",
+        ])
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    outs = {}
+    for fused in (False, True):
+        mesh = make_mesh(1)
+        tr = UGATITTrainer(cfg(fused), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[fused] = (
+            {k: float(v) for k, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_params)),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_sn)),
+        )
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    for i in (1, 2, 3):
+        for x, y in zip(jax.tree_util.tree_leaves(outs[False][i]),
+                        jax.tree_util.tree_leaves(outs[True][i])):
+            np.testing.assert_allclose(x, y, atol=5e-5)
