@@ -27,6 +27,7 @@ RUNGS = {
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3
     "stargan128": ("stargan128", [], 12),
+    "starganv2_256": ("starganv2_256", [], 12),
     "ugatit256": ("ugatit256", [], 8),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
@@ -51,9 +52,14 @@ def measure(name, steps=12, repeats=3):
     L = cfg.data.load_size
     a = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
     b = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
-    # stargan consumes ONE interleaved multi-domain array
-    dev = (shard_batch(mesh, (a,)) if cfg.model.kind == "stargan"
-           else shard_batch(mesh, (a, b)))
+    # stargan consumes ONE interleaved multi-domain array; v2 takes THREE
+    if cfg.model.kind == "stargan":
+        dev = shard_batch(mesh, (a,))
+    elif cfg.model.kind == "starganv2":
+        c = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
+        dev = shard_batch(mesh, (a, b, c))
+    else:
+        dev = shard_batch(mesh, (a, b))
     state, m = tr.train_step(state, dev)
     jax.device_get(m)
     best = float("inf")

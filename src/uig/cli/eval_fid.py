@@ -14,9 +14,11 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
     """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
     small-sample metric (polynomial-kernel MMD over the same features).
 
-    Multi-domain runs (kind=stargan): reals are the ``target_domain``
-    (default 0) eval images; fakes are every OTHER domain's eval images
-    translated into it (round-robin). ``direction`` is ignored."""
+    Multi-domain runs (kind=stargan/starganv2): reals are the
+    ``target_domain`` (default 0) eval images; fakes are every OTHER
+    domain's eval images translated into it (round-robin; v2 uses its
+    deterministic seed-0 mapping-network style). ``direction`` is
+    ignored."""
     import jax.numpy as jnp
 
     from uig.cli.translate import load_run
@@ -26,7 +28,7 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
     crop = cfg.model.image_size
-    if cfg.model.kind == "stargan":
+    if cfg.model.kind in ("stargan", "starganv2"):
         from uig.data import multidomain_eval_datasets
 
         domains = multidomain_eval_datasets(cfg)

@@ -40,17 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default latest)")
     tr.add_argument("--style-seed", type=int, default=None,
-                    help="multimodal (kind=munit) runs: sample ONE N(0,I) "
-                         "style code from this seed for all images; vary it "
-                         "for a different output mode")
+                    help="multimodal (kind=munit/starganv2) runs: sample ONE "
+                         "style code from this seed for all images (munit: "
+                         "N(0,I); starganv2: mapping network); vary it for a "
+                         "different output mode")
     tr.add_argument("--style-ref", default=None,
-                    help="multimodal (kind=munit) runs: path to a TARGET-"
-                         "domain reference image whose style guides the "
-                         "translation")
+                    help="multimodal (kind=munit/starganv2) runs: path to a "
+                         "TARGET-domain reference image whose style guides "
+                         "the translation")
     tr.add_argument("--target-domain", type=int, default=None,
-                    help="multi-domain (kind=stargan) runs: integer domain "
-                         "to translate INTO (default 0); --direction is "
-                         "ignored for stargan")
+                    help="multi-domain (kind=stargan/starganv2) runs: "
+                         "integer domain to translate INTO (default 0); "
+                         "--direction is ignored there")
     tr.add_argument("--source", default="auto",
                     choices=["auto", "folders", "packed", "tfrecord"],
                     help="input format (auto-detected by default)")
@@ -87,8 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--batch-size", type=int, default=8)
     ex.add_argument("--step", type=int, default=None)
     ex.add_argument("--target-domain", type=int, default=None,
-                    help="multi-domain (kind=stargan) runs: bake this "
-                         "target domain into the artifact")
+                    help="multi-domain (kind=stargan/starganv2) runs: bake "
+                         "this target domain into the artifact")
+    ex.add_argument("--style-seed", type=int, default=0,
+                    help="kind=starganv2 runs: bake the mapping-network "
+                         "style from this seed into the artifact (one "
+                         "artifact per output mode)")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering platforms baked into "
                          "the artifact (default: tpu,cpu)")
@@ -144,6 +149,7 @@ def main(argv=None) -> int:
             args.run_dir, args.output_dir, direction=args.direction,
             batch_size=args.batch_size, step=args.step,
             overrides=args.overrides, target_domain=args.target_domain,
+            style_seed=args.style_seed,
             platforms=tuple(p for p in args.platforms.split(",") if p))
         print(json.dumps({"exported": args.output_dir, "meta": meta}))
         return 0

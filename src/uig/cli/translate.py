@@ -70,10 +70,11 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
 
     cfg, trainer, state = load_run(run_dir, step, overrides)
     stargan = cfg.model.kind == "stargan"
-    if target_domain is not None and not stargan:
+    starganv2 = cfg.model.kind == "starganv2"
+    if target_domain is not None and not (stargan or starganv2):
         raise ValueError(
-            "--target-domain applies only to multi-domain (kind=stargan) "
-            f"runs; this run is kind={cfg.model.kind!r}")
+            "--target-domain applies only to multi-domain (kind=stargan/"
+            f"starganv2) runs; this run is kind={cfg.model.kind!r}")
     if attention_dir is not None and cfg.model.kind != "ugatit":
         raise ValueError(
             "--attention-dir applies only to attention (kind=ugatit) runs; "
@@ -91,14 +92,25 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         if not hasattr(trainer, "encode_style"):
             raise ValueError(
                 "--style-seed/--style-ref apply only to multimodal "
-                f"(kind=munit) runs; this run is kind={cfg.model.kind!r}")
-        if style_ref:
+                "(kind=munit/starganv2) runs; this run is "
+                f"kind={cfg.model.kind!r}")
+
+        def _load_ref():
             img = Image.open(style_ref).convert("RGB")
             s = cfg.data.load_size
             img = img.resize((s, s), Image.BILINEAR)
-            x_ref = center_crop_normalize(
+            return center_crop_normalize(
                 jnp.asarray(np.asarray(img)[None]), cfg.model.image_size)
-            style = trainer.encode_style(state.ema, x_ref,
+
+        if starganv2:
+            # v2 styles are domain-conditional: reference image through the
+            # EMA style encoder, or a mapping-network style from the seed
+            t = target_domain or 0
+            style = (trainer.encode_style(state.ema, _load_ref(), domain=t)
+                     if style_ref
+                     else trainer.style_from_seed(state.ema, style_seed, t))
+        elif style_ref:
+            style = trainer.encode_style(state.ema, _load_ref(),
                                          domain=direction[-1])
         else:
             style = jax.random.normal(
@@ -117,7 +129,10 @@ def run_translate(run_dir: str, input_dir: str, output_dir: str,
         import jax.numpy as jnp
 
         x = center_crop_normalize(jnp.asarray(raw), cfg.model.image_size)
-        if stargan:
+        if starganv2:
+            y = trainer.translate(state.ema, x, target_domain or 0,
+                                  style=style)
+        elif stargan:
             y = trainer.translate(state.ema, x, target_domain or 0)
         elif style is not None:
             y = trainer.translate(state.ema, x, direction, style=style)

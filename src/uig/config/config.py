@@ -22,8 +22,8 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | unit | munit | stargan | ugatit | vqgan | vaegan |
-    # vqgan_prior
+    # cyclegan | cut | unit | munit | stargan | starganv2 | ugatit | vqgan |
+    # vaegan | vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
@@ -132,6 +132,14 @@ class ModelConfig:
     # input pipeline (data.domain_dirs for folders; synthetic provides
     # procedural domains).
     num_domains: int = 3
+    # StarGAN v2 (style-based multi-domain multimodal — models/starganv2.py):
+    # style-vector width (canonical 64), mapping-network latent width
+    # (canonical 16), and the channel cap for the G/E/D trunks (canonical
+    # 512). num_domains is shared with StarGAN v1; g_base_features /
+    # d_base_features size the G and E/D stems.
+    v2_style_dim: int = 64
+    v2_latent_dim: int = 16
+    v2_max_features: int = 512
     # U-GAT-IT (attention member of the lineage — models/ugatit.py): depth
     # of the per-domain GLOBAL and LOCAL spectral-norm CAM discriminators
     # (published config: 7 and 5 — i.e. 5 and 3 stride-2 convs).
@@ -182,6 +190,14 @@ class LossConfig:
     # (canonical λ_rec = 10, same value).
     lambda_cls: float = 1.0
     lambda_gp: float = 10.0
+    # StarGAN v2: style-reconstruction weight λ_sty (canonical 1), the
+    # INITIAL diversity-sensitive weight λ_ds (canonical 1; 2 for AFHQ) —
+    # linearly decayed to 0 over ds_decay_steps (canonical 100k) — and the
+    # decay horizon. Cycle weight reuses lambda_cycle (canonical 1 for v2,
+    # set in the preset).
+    lambda_sty: float = 1.0
+    lambda_ds: float = 1.0
+    ds_decay_steps: int = 100_000
     # U-GAT-IT CAM weight: BCE on the generators' attention-classifier
     # logits (source domain -> 1, identity pass -> 0); published 1000.
     lambda_cam: float = 1000.0
@@ -220,6 +236,9 @@ class OptConfig:
     # D learning rate = lr * d_lr_ratio (TTUR-style knob; <1 weakens D on
     # small datasets)
     d_lr_ratio: float = 1.0
+    # StarGAN v2 mapping network F trains at lr·f_lr_ratio (canonical
+    # 1e-6 vs the 1e-4 base — ratio 0.01)
+    f_lr_ratio: float = 0.01
     # critic steps per generator step (canonical WGAN-GP/StarGAN: 5). The
     # trainer updates D every step and gates the G/EMA update on
     # step % d_steps_per_g == d_steps_per_g - 1 via lax.cond, so the whole

@@ -208,6 +208,28 @@ def _stargan128() -> Config:
     )
 
 
+def _starganv2_256() -> Config:
+    # style-based multi-domain multimodal successor (StarGAN v2, Choi et
+    # al. 2020). Canonical AFHQ recipe: 256², style_dim 64, latent 16,
+    # non-saturating GAN + R1(γ=1), λ_sty=1, λ_ds=2 decayed over 100k,
+    # λ_cyc=1, Adam 1e-4 (0, 0.99) + wd 1e-4, mapping network at 1e-6.
+    # (num_domains=3 matches AFHQ's cat/dog/wild; set data.domain_dirs.)
+    return Config(
+        model=ModelConfig(kind="starganv2", image_size=256, num_domains=3,
+                          v2_style_dim=64, v2_latent_dim=16,
+                          v2_max_features=512),
+        loss=LossConfig(gan_mode="vanilla", r1_gamma=1.0, lambda_sty=1.0,
+                        lambda_ds=2.0, ds_decay_steps=100_000,
+                        lambda_cycle=1.0, lambda_identity=0.0),
+        opt=OptConfig(lr=1e-4, b1=0.0, b2=0.99, weight_decay=1e-4,
+                      f_lr_ratio=0.01, ema_decay=0.999,
+                      total_steps=100_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="starganv2_256"),
+    )
+
+
 def _ugatit256() -> Config:
     # attention member of the lineage (U-GAT-IT, Kim et al. 2019, "light"):
     # CAM-attended generator with AdaLIN decoder, per-domain global (7-layer)
@@ -279,6 +301,7 @@ PRESETS = {
     "unit256": _unit256,
     "munit256": _munit256,
     "stargan128": _stargan128,
+    "starganv2_256": _starganv2_256,
     "ugatit256": _ugatit256,
     "discogan64": _discogan64,
     "vaegan256": _vaegan256,

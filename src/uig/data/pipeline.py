@@ -225,11 +225,18 @@ class MultiDomainPipeline(UnpairedPipeline):
 
     Inherits the producer thread, bounded device-put prefetch queue, and the
     one-integer iterator checkpoint from UnpairedPipeline (the batch stream
-    stays a pure function of (seed, batch_counter))."""
+    stays a pure function of (seed, batch_counter)).
+
+    ``streams_per_step`` > 1 yields a TUPLE of that many INDEPENDENTLY
+    sampled interleaved arrays per step (all advancing the same pure index
+    stream, so the one-integer checkpoint still holds) — StarGAN v2 needs
+    (x, x_ref, x_ref2) with matching label layouts, which the shared
+    round-robin interleave provides by construction."""
 
     def __init__(self, datasets, batch_size_local: int, mesh=None,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 host_index: int = 0, host_count: int = 1):
+                 host_index: int = 0, host_count: int = 1,
+                 streams_per_step: int = 1):
         if len(datasets) < 2:
             raise ValueError(
                 f"multi-domain pipeline needs >= 2 domains, got {len(datasets)}")
@@ -249,8 +256,12 @@ class MultiDomainPipeline(UnpairedPipeline):
                           host_index, host_count)
             for d, ds in enumerate(datasets)
         ]
+        if streams_per_step < 1:
+            raise ValueError(
+                f"streams_per_step must be >= 1, got {streams_per_step}")
+        self.streams_per_step = streams_per_step
 
-    def _load_batch(self, t: int) -> np.ndarray:
+    def _interleave(self, t: int) -> np.ndarray:
         n = len(self.datasets)
         k = self.batch // n
         per = [self._load_domain(ds, st, t * k, k)
@@ -261,18 +272,27 @@ class MultiDomainPipeline(UnpairedPipeline):
             out[d::n] = arr
         return out
 
+    def _load_batch(self, t: int):
+        s = self.streams_per_step
+        if s == 1:
+            return self._interleave(t)
+        # stream j of batch t reads index positions (t*s + j)·k — still a
+        # pure function of the single batch counter
+        return tuple(self._interleave(t * s + j) for j in range(s))
+
 
 def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
     """Build the pipeline from a Config (SURVEY.md §3 stack 1 entry).
 
-    model.kind="stargan" gets the N-domain interleaved pipeline
-    (MultiDomainPipeline); every other trainer gets the two-domain one."""
+    model.kind="stargan"/"starganv2" gets the N-domain interleaved pipeline
+    (MultiDomainPipeline; v2 with streams_per_step=3 — x, x_ref, x_ref2);
+    every other trainer gets the two-domain one."""
     import jax
 
     from uig.data.datasets import FolderDataset, SyntheticUnpairedDataset
 
     d = cfg.data
-    if getattr(cfg.model, "kind", "") == "stargan":
+    if getattr(cfg.model, "kind", "") in ("stargan", "starganv2"):
         return _make_multidomain(cfg, mesh, start)
     if d.source == "synthetic":
         syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
@@ -347,5 +367,6 @@ def _make_multidomain(cfg, mesh, start: bool) -> MultiDomainPipeline:
         prefetch=d.prefetch,
         host_index=jax.process_index(),
         host_count=host_count,
+        streams_per_step=3 if cfg.model.kind == "starganv2" else 1,
     )
     return pipe.start() if start else pipe

@@ -247,6 +247,12 @@ class PadConv(nn.Module):
     # 3x3 s2 p1) to uig.kernels.conv_pallas (s2d coarse-domain im2col
     # matmul, fwd+bwd in Pallas). Anything else falls back to lax.conv.
     impl: str = "xla"
+    # weight init: the house default is the DCGAN/CycleGAN normal(0.02);
+    # scale-preserving families (StarGAN v2's deep /√2-residual trunks,
+    # which canonically rely on torch's fan-in default) pass he_uniform —
+    # normal(0.02) attenuates activations ~0.5× per conv there, pinning D
+    # and the style encoder at zero output for thousands of steps.
+    kernel_init: object = nn.initializers.normal(0.02)
 
     def _pallas_route(self, x) -> str:
         if self.impl != "pallas" or (self.s2d_block and self.s2d_block > 1):
@@ -270,8 +276,7 @@ class PadConv(nn.Module):
         k, f = self.kernel, self.features
         cin = x.shape[-1]
         # all execution paths share one parameterization (same checkpoints)
-        w = self.param("kernel", nn.initializers.normal(0.02),
-                       (k, k, cin, f))
+        w = self.param("kernel", self.kernel_init, (k, k, cin, f))
         bias = (self.param("bias", nn.initializers.zeros, (f,))
                 if self.use_bias else None)
         route = self._pallas_route(x)

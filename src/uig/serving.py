@@ -36,12 +36,15 @@ _META_FILE = "meta.json"
 def export_translate(run_dir: str, output_dir: str, direction: str = "a2b",
                      batch_size: int = 8, step: int | None = None,
                      overrides=(), target_domain: int | None = None,
+                     style_seed: int = 0,
                      platforms: tuple[str, ...] = ("tpu", "cpu")) -> dict:
     """Export ``run_dir``'s EMA translate path as a serving artifact.
 
-    Multi-domain runs (kind=stargan): ``target_domain`` is baked in (one
-    artifact per target domain — serving needs no label plumbing).
-    Returns the metadata dict (also written to ``meta.json``)."""
+    Multi-domain runs (kind=stargan/starganv2): ``target_domain`` is baked
+    in (one artifact per target domain — serving needs no label plumbing);
+    v2 additionally bakes the mapping-network style from ``style_seed``
+    (one artifact per output mode). Returns the metadata dict (also
+    written to ``meta.json``)."""
     import jax
     from jax import export as jex
 
@@ -55,17 +58,21 @@ def export_translate(run_dir: str, output_dir: str, direction: str = "a2b",
             f"kind={kind!r} has no translate path to export; use the "
             "sample CLI for unconditional-generation families")
     stargan = kind == "stargan"
-    if target_domain is not None and not stargan:
+    starganv2 = kind == "starganv2"
+    if target_domain is not None and not (stargan or starganv2):
         raise ValueError(
-            "target_domain applies only to multi-domain (kind=stargan) "
-            f"runs; this run is kind={kind!r}")
+            "target_domain applies only to multi-domain (kind=stargan/"
+            f"starganv2) runs; this run is kind={kind!r}")
     ema = jax.device_get(state.ema)  # host copy — baked in as constants
     crop = cfg.model.image_size
     load = cfg.data.load_size
 
     def serve(raw_u8):
         x = center_crop_normalize(raw_u8, crop)
-        if stargan:
+        if starganv2:
+            y = trainer.translate(ema, x, target_domain or 0,
+                                  style_seed=style_seed)
+        elif stargan:
             y = trainer.translate(ema, x, target_domain or 0)
         else:
             y = trainer.translate(ema, x, direction)
@@ -78,8 +85,10 @@ def export_translate(run_dir: str, output_dir: str, direction: str = "a2b",
         f.write(exported.serialize())
     meta = {
         "kind": kind,
-        "direction": None if stargan else direction,
-        "target_domain": (target_domain or 0) if stargan else None,
+        "direction": None if (stargan or starganv2) else direction,
+        "target_domain": ((target_domain or 0) if (stargan or starganv2)
+                          else None),
+        "style_seed": style_seed if starganv2 else None,
         "input": [batch_size, load, load, 3],
         "input_dtype": "uint8",
         "output": [batch_size, crop, crop, 3],

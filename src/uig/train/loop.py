@@ -53,6 +53,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.stargan_trainer import StarGANTrainer
 
         return StarGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "starganv2":
+        from uig.train.starganv2_trainer import StarGANv2Trainer
+
+        return StarGANv2Trainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "ugatit":
         from uig.train.ugatit_trainer import UGATITTrainer
 
@@ -235,7 +239,7 @@ def _inline_fid(cfg, trainer, state) -> float:
     from uig.data import eval_datasets
     from uig.eval.fid import compute_fid, make_feature_fn
 
-    if cfg.model.kind == "stargan":
+    if cfg.model.kind in ("stargan", "starganv2"):
         return _inline_fid_stargan(cfg, trainer, state)
     ds_a, ds_b = eval_datasets(cfg)
     n = min(cfg.eval.fid_num_samples, len(ds_a), len(ds_b))
@@ -326,7 +330,7 @@ def _write_sample_grid(cfg, trainer, state, workdir: str, step: int,
     import jax.numpy as jnp
 
     ema = _local_ema(state)
-    if cfg.model.kind == "stargan":
+    if cfg.model.kind in ("stargan", "starganv2"):
         # one row pair per domain d: sources, then their translation to
         # domain (d+1) % N
         from uig.data import multidomain_eval_datasets
