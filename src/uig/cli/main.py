@@ -99,6 +99,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "the artifact (default: tpu,cpu)")
     _add_common(ex)
 
+    sv = sub.add_parser(
+        "serve", help="HTTP micro-batching server over an exported artifact "
+                      "(POST /translate image bytes -> PNG)")
+    sv.add_argument("--artifact", required=True,
+                    help="directory written by `uig export`")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="micro-batching window: max wait after the first "
+                         "queued request before dispatching a partial batch")
+
     sm = sub.add_parser(
         "sample", help="unconditional generation (vaegan prior / vqgan codes)")
     sm.add_argument("--run-dir", required=True)
@@ -153,6 +164,11 @@ def main(argv=None) -> int:
             platforms=tuple(p for p in args.platforms.split(",") if p))
         print(json.dumps({"exported": args.output_dir, "meta": meta}))
         return 0
+    if args.cmd == "serve":
+        from uig.serve import run_serve
+
+        return run_serve(args.artifact, host=args.host, port=args.port,
+                         max_delay_ms=args.max_delay_ms)
     if args.cmd == "pack":
         from uig.data.datasets import FolderDataset, PackedDataset
 
