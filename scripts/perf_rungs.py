@@ -29,6 +29,7 @@ RUNGS = {
     "stargan128": ("stargan128", [], 12),
     "starganv2_256": ("starganv2_256", [], 12),
     "ugatit256": ("ugatit256", [], 8),
+    "nicegan256": ("nicegan256", [], 8),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),

@@ -22,8 +22,8 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | unit | munit | stargan | starganv2 | ugatit | vqgan |
-    # vaegan | vqgan_prior
+    # cyclegan | cut | unit | munit | stargan | starganv2 | ugatit |
+    # nicegan | vqgan | vaegan | vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3
@@ -201,6 +201,10 @@ class LossConfig:
     # U-GAT-IT CAM weight: BCE on the generators' attention-classifier
     # logits (source domain -> 1, identity pass -> 0); published 1000.
     lambda_cam: float = 1000.0
+    # NICE-GAN: weight of the own-encoding reconstruction term
+    # Dec_src(E_src(x)) ≈ x (the paper's identity analogue; published 10;
+    # cycle reuses lambda_cycle, same published value).
+    lambda_recon: float = 10.0
     # R1 gradient penalty on D at real inputs (γ/2·E‖∇ₓD(x)‖²); 0 disables.
     # The D-regularization knob for small-data runs where D overpowers G
     # (round-1 5000-step finding: d_loss→0.04 and FID drifts back up).

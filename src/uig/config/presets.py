@@ -250,6 +250,25 @@ def _ugatit256() -> Config:
     )
 
 
+def _nicegan256() -> Config:
+    # encoder-reuse member of the lineage (NICE-GAN, Chen et al. 2020):
+    # translation = Dec_tgt(E_src(x)) with E the first stage of the
+    # spectral-norm discriminator; decoupled training (E updates only in
+    # the D step). Published recipe: 256², 6 decoder res blocks, LSGAN,
+    # adv 1 (patch + CAM), λ_cycle=10, λ_recon=10, Adam 1e-4 (0.5, 0.999)
+    # + weight decay 1e-4, resize-286/crop-256.
+    return Config(
+        model=ModelConfig(kind="nicegan", image_size=256, n_res_blocks=6),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
+                        lambda_recon=10.0),
+        opt=OptConfig(lr=1e-4, weight_decay=1e-4, total_steps=100_000,
+                      decay_start_step=50_000),
+        data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="nicegan256"),
+    )
+
+
 def _vaegan256() -> Config:
     # rung 4 alternative: "256² VAE-GAN ... with EMA generator, multi-host DP"
     return Config(
@@ -303,6 +322,7 @@ PRESETS = {
     "stargan128": _stargan128,
     "starganv2_256": _starganv2_256,
     "ugatit256": _ugatit256,
+    "nicegan256": _nicegan256,
     "discogan64": _discogan64,
     "vaegan256": _vaegan256,
     "vqgan512": _vqgan512,

@@ -57,6 +57,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.starganv2_trainer import StarGANv2Trainer
 
         return StarGANv2Trainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "nicegan":
+        from uig.train.nicegan_trainer import NICEGANTrainer
+
+        return NICEGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "ugatit":
         from uig.train.ugatit_trainer import UGATITTrainer
 
