@@ -160,10 +160,7 @@ class NICEClassifier(nn.Module):
         x = PadConv(c, 1, pad=0, dtype=dt)(x)
         x = nn.leaky_relu(x, 0.2)
 
+        # plane >= 2 was checked above, so this map is always >= 1x1
         x = SNConv(1, 4, stride=1, pad=1, use_bias=False, dtype=dt)(
             x, update_stats)
-        if 0 in x.shape:
-            raise ValueError(
-                f"NICEClassifier produced an EMPTY logit map {x.shape} — "
-                "input image too small for the encoder+classifier ladder")
         return x, cam_logit

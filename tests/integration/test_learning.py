@@ -57,6 +57,12 @@ def test_single_step_under_disable_jit():
     cfg = _cfg()
     cfg = dataclasses.replace(
         cfg,
+        # pad_impl=explicit: the fused-ring reflect conv is bit-equivalent
+        # (its own parity tests) but lowers to many small strip ops that
+        # are each a dispatch under disable_jit — eager mode took 21 min
+        # with it, ~3 min without. The tracer-leak/impurity sweep this
+        # test exists for is lowering-independent.
+        model=dataclasses.replace(cfg.model, pad_impl="explicit"),
         data=dataclasses.replace(cfg.data, batch_size=1, load_size=18),
         opt=dataclasses.replace(cfg.opt, pool_size=2),
     )
