@@ -10,9 +10,12 @@ import numpy as np
 def run_eval_fid(run_dir: str, direction: str = "a2b",
                  num_samples: int | None = None, step: int | None = None,
                  batch_size: int = 16, overrides=(), kid: bool = False,
+                 prdc: bool = False, prdc_k: int = 5,
                  target_domain: int | None = None):
     """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
-    small-sample metric (polynomial-kernel MMD over the same features).
+    small-sample metric (polynomial-kernel MMD over the same features) —
+    or a {precision, recall, density, coverage} dict when ``prdc`` (the
+    fidelity-vs-diversity decomposition, k-NN manifold estimate).
 
     Multi-domain runs (kind=stargan/starganv2): reals are the
     ``target_domain`` (default 0) eval images; fakes are every OTHER
@@ -73,6 +76,14 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                 yield trainer.translate(state.ema, x, direction)
 
     feature_fn, name = make_feature_fn(cfg)
+    if prdc:
+        from uig.eval.prdc import compute_prdc
+
+        out = compute_prdc(real_batches(), fake_batches(), feature_fn,
+                           k=prdc_k)
+        print(f"PRDC[{name}] over {n} samples ({direction}, k={prdc_k}): "
+              + " ".join(f"{k_}={v:.4f}" for k_, v in out.items()))
+        return out
     if kid:
         mean, std = compute_kid(real_batches(), fake_batches(), feature_fn)
         print(f"KID[{name}] over {n} samples ({direction}): "

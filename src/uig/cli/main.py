@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--step", type=int, default=None)
     ev.add_argument("--kid", action="store_true",
                     help="report KID (unbiased small-sample metric) instead")
+    ev.add_argument("--prdc", action="store_true",
+                    help="report precision/recall/density/coverage (k-NN "
+                         "manifold fidelity-vs-diversity) instead")
+    ev.add_argument("--prdc-k", type=int, default=5,
+                    help="k for the PRDC k-NN radius estimate (default 5)")
     ev.add_argument("--target-domain", type=int, default=None,
                     help="multi-domain (kind=stargan) runs: domain whose "
                          "reals anchor the metric (default 0)")
@@ -189,8 +194,11 @@ def main(argv=None) -> int:
         res = run_eval_fid(args.run_dir, direction=args.direction,
                            num_samples=args.num_samples, step=args.step,
                            overrides=args.overrides, kid=args.kid,
+                           prdc=args.prdc, prdc_k=args.prdc_k,
                            target_domain=args.target_domain)
-        if args.kid:
+        if args.prdc:
+            print(json.dumps(res))
+        elif args.kid:
             print(json.dumps({"kid": res[0], "kid_std": res[1]}))
         else:
             print(json.dumps({"fid": res}))

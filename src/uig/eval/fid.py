@@ -130,19 +130,20 @@ def kid_from_features(real: np.ndarray, fake: np.ndarray,
     return float(np.mean(vals)), float(np.std(vals))
 
 
-def compute_kid(real_batches: Iterable, fake_batches: Iterable,
-                feature_fn: Callable, feature_dim: int | None = None,
-                **kw) -> tuple[float, float]:
-    """KID between two image streams (same interface as compute_fid).
-    Multi-host: features are gathered across processes first; a host whose
-    shard is empty contributes a (0, feature_dim) block (pass feature_dim
-    to allow that — without it an empty stream is an error)."""
+def collect_features(real_batches: Iterable, fake_batches: Iterable,
+                     feature_fn: Callable, feature_dim: int | None = None,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize (real, fake) feature matrices from two image streams —
+    the shared front half of the sample-based metrics (KID, PRDC).
+    Multi-host: features are gathered across processes; a host whose shard
+    is empty contributes a (0, feature_dim) block (pass feature_dim to
+    allow that — without it an empty local stream is an error)."""
     feats = []
     for batches in (real_batches, fake_batches):
         fs = [np.asarray(jax.device_get(feature_fn(b))) for b in batches]
         if not fs:
             if feature_dim is None:
-                raise ValueError("empty image stream for KID")
+                raise ValueError("empty image stream")
             fs = [np.zeros((0, feature_dim), np.float64)]
         feats.append(np.concatenate(fs, 0))
     if jax.process_count() > 1:
@@ -166,11 +167,21 @@ def compute_kid(real_batches: Iterable, fake_batches: Iterable,
             gathered.append(np.concatenate(
                 [blocks[i, : int(c)] for i, c in enumerate(counts)], 0))
         feats = gathered
-    for name, f in zip(("real", "fake"), feats):
+    return feats[0], feats[1]
+
+
+def compute_kid(real_batches: Iterable, fake_batches: Iterable,
+                feature_fn: Callable, feature_dim: int | None = None,
+                **kw) -> tuple[float, float]:
+    """KID between two image streams (same interface as compute_fid);
+    multi-host gather semantics as collect_features."""
+    real, fake = collect_features(real_batches, fake_batches,
+                                  feature_fn, feature_dim)
+    for name, f in zip(("real", "fake"), (real, fake)):
         if f.shape[0] < 2:  # m<2 → 0/0 in the unbiased MMD estimator
             raise ValueError(
                 f"KID needs >=2 {name} images globally, got {f.shape[0]}")
-    return kid_from_features(feats[0], feats[1], **kw)
+    return kid_from_features(real, fake, **kw)
 
 
 def compute_fid(real_batches: Iterable, fake_batches: Iterable,

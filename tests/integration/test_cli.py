@@ -71,6 +71,13 @@ def test_train_translate_evalfid_cli(tmp_path, png_dirs, capsys):
     kid = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(kid["kid"]) and np.isfinite(kid["kid_std"])
 
+    rc = main(["eval-fid", "--run-dir", run_dir, "--num-samples", "8",
+               "--prdc", "--prdc-k", "2"])
+    assert rc == 0
+    prdc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(prdc) == {"precision", "recall", "density", "coverage"}
+    assert all(np.isfinite(v) and v >= 0 for v in prdc.values())
+
 
 def test_translate_deterministic(tmp_path, png_dirs, capsys):
     """Same ckpt + same inputs -> byte-identical outputs (eval-mode fidelity,
