@@ -65,20 +65,21 @@ def _branch_to_torch(name: str) -> str:
     return "branch" + name[1:]
 
 
-def convert_inception(sd: dict) -> dict:
+def convert_inception(sd: dict, num_classes: int = 0) -> dict:
     """torch inception_v3 state_dict -> flattened flax npz dict.
 
     Target layout: the keys produced by flattening the variables of
     uig.eval.inception.InceptionV3Features (see init_inception), i.e.
     'params/<block>/<branch>/conv/kernel', 'params/.../bn/scale', ... and
-    'batch_stats/.../bn/mean'/'var'.
-    """
+    'batch_stats/.../bn/mean'/'var'. ``num_classes`` > 0 additionally maps
+    the fc head ('fc.weight'/'fc.bias' -> 'params/fc/kernel'/'bias') for
+    the Inception Score path."""
     import jax
     import jax.numpy as jnp
 
     from uig.eval.inception import InceptionV3Features, _flatten
 
-    model = InceptionV3Features()
+    model = InceptionV3Features(num_classes=num_classes)
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 299, 299, 3), jnp.float32)))
@@ -93,7 +94,15 @@ def convert_inception(sd: dict) -> dict:
         col, *mods, layer, pname = path
         torch_mods = [m if m.startswith(("Conv2d", "Mixed")) else
                       _branch_to_torch(m) for m in mods]
-        if layer == "conv":
+        if layer == "fc":
+            tk = f"fc.{'weight' if pname == 'kernel' else 'bias'}"
+            if tk not in sd:
+                missing.append(tk)
+                continue
+            val = np.asarray(sd[tk])
+            if pname == "kernel":
+                val = val.T  # torch (out, in) -> flax (in, out)
+        elif layer == "conv":
             assert pname == "kernel"
             tk = ".".join(torch_mods + ["conv", "weight"])
             if tk not in sd:
@@ -154,12 +163,17 @@ def main(argv=None):
     ap.add_argument("net", choices=("inception", "vgg16", "lpips_lin"))
     ap.add_argument("--src", required=True, help=".pth/.pt/.npz checkpoint")
     ap.add_argument("--out", required=True, help="output .npz path")
+    ap.add_argument("--fc", type=int, default=0, metavar="NUM_CLASSES",
+                    help="inception only: also export the fc head with this "
+                         "many classes (1000 for torchvision inception_v3) "
+                         "— enables the Inception Score path")
     args = ap.parse_args(argv)
 
     sd = _load_state_dict(args.src)
     conv = {"inception": convert_inception, "vgg16": convert_vgg16,
             "lpips_lin": convert_lpips_lin}[args.net]
-    np.savez(args.out, **conv(sd))
+    kw = {"num_classes": args.fc} if args.net == "inception" else {}
+    np.savez(args.out, **conv(sd, **kw))
     print(f"wrote {args.out} ({len(np.load(args.out).files)} arrays)")
 
 

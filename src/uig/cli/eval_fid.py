@@ -11,6 +11,8 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                  num_samples: int | None = None, step: int | None = None,
                  batch_size: int = 16, overrides=(), kid: bool = False,
                  prdc: bool = False, prdc_k: int = 5,
+                 inception_score: bool = False, is_splits: int = 10,
+                 ref_stats: str | None = None,
                  target_domain: int | None = None):
     """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
     small-sample metric (polynomial-kernel MMD over the same features) —
@@ -26,9 +28,12 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
 
     from uig.cli.translate import load_run
     from uig.data import eval_datasets
-    from uig.eval.fid import compute_fid, compute_kid, make_feature_fn
+    from uig.eval.fid import FIDStats, compute_fid, compute_kid, make_feature_fn
     from uig.kernels import center_crop_normalize
 
+    if ref_stats and (kid or prdc or inception_score):
+        raise ValueError("--ref-stats is FID-only: KID/PRDC need the raw "
+                         "real features and IS never looks at reals")
     cfg, trainer, state = load_run(run_dir, step, overrides)
     crop = cfg.model.image_size
     if cfg.model.kind in ("stargan", "starganv2"):
@@ -75,6 +80,33 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                 x = center_crop_normalize(jnp.asarray(raw), crop)
                 yield trainer.translate(state.ema, x, direction)
 
+    if inception_score:
+        # IS scores the translated stream alone — class probabilities from
+        # the fc head (never part of the FID feature path).
+        import jax
+
+        from uig.eval.inception import init_inception
+        from uig.eval.is_score import compute_inception_score
+
+        w = cfg.eval.inception_weights or None
+        if not w:
+            raise ValueError(
+                "Inception Score needs eval.inception_weights (exported "
+                "with scripts/export_weights.py inception --fc 1000); the "
+                "random-feature fallback has no class head")
+        loaded = np.load(w)
+        if "params/fc/kernel" not in loaded:
+            raise ValueError(
+                f"{w} has no fc head — re-export with --fc 1000")
+        nc = int(loaded["params/fc/kernel"].shape[1])
+        apply_fn, variables = init_inception(w, num_classes=nc)
+        logits_fn = jax.jit(lambda x: apply_fn(variables, x))
+        mean, std = compute_inception_score(fake_batches(), logits_fn,
+                                            splits=is_splits, num_classes=nc)
+        print(f"IS[inception_fc{nc}] over {n} samples ({direction}, "
+              f"{is_splits} splits): {mean:.4f} ± {std:.4f}")
+        return mean, std
+
     feature_fn, name = make_feature_fn(cfg)
     if prdc:
         from uig.eval.prdc import compute_prdc
@@ -89,6 +121,21 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
         print(f"KID[{name}] over {n} samples ({direction}): "
               f"{mean:.6f} ± {std:.6f}")
         return mean, std
+    if ref_stats:
+        st, st_name, st_size = FIDStats.load(ref_stats)
+        if st_name != name:
+            raise ValueError(
+                f"--ref-stats {ref_stats} was computed with extractor "
+                f"{st_name!r} but this run resolves to {name!r} — recompute "
+                "with `uig fid-stats` under the same eval settings")
+        if st_size != crop:
+            raise ValueError(
+                f"--ref-stats {ref_stats} was computed at image_size "
+                f"{st_size}, this run evaluates at {crop}")
+        fid = compute_fid(None, fake_batches(), feature_fn, real_stats=st)
+        print(f"FID[{name}] over {n} samples vs precomputed real stats "
+              f"(n={st.n}) ({direction}): {fid:.4f}")
+        return fid
     fid = compute_fid(real_batches(), fake_batches(), feature_fn)
     print(f"FID[{name}] over {n} samples ({direction}): {fid:.4f}")
     return fid

@@ -73,10 +73,37 @@ def build_parser() -> argparse.ArgumentParser:
                          "manifold fidelity-vs-diversity) instead")
     ev.add_argument("--prdc-k", type=int, default=5,
                     help="k for the PRDC k-NN radius estimate (default 5)")
+    ev.add_argument("--inception-score", action="store_true",
+                    help="report Inception Score of the translated stream "
+                         "instead (needs weights exported with --fc)")
+    ev.add_argument("--is-splits", type=int, default=10,
+                    help="IS split count (default 10)")
+    ev.add_argument("--ref-stats", default=None,
+                    help="precomputed real-domain statistics npz (from "
+                         "`uig fid-stats`) — skips streaming the reals; "
+                         "FID only")
     ev.add_argument("--target-domain", type=int, default=None,
                     help="multi-domain (kind=stargan) runs: domain whose "
                          "reals anchor the metric (default 0)")
     _add_common(ev)
+
+    fs = sub.add_parser(
+        "fid-stats", help="precompute a dataset's FID reference statistics "
+                          "(reusable via eval-fid --ref-stats)")
+    fs.add_argument("--data-dir", required=True,
+                    help="image folder / packed .npy / tfrecord")
+    fs.add_argument("--output", required=True, help="output .npz path")
+    fs.add_argument("--image-size", type=int, required=True,
+                    help="center-crop size — must match the eval run's "
+                         "model.image_size")
+    fs.add_argument("--num-samples", type=int, default=None)
+    fs.add_argument("--batch-size", type=int, default=16)
+    fs.add_argument("--load-size", type=int, default=None,
+                    help="host resize before crop (default: config "
+                         "data.load_size)")
+    fs.add_argument("--source", default="auto",
+                    choices=["auto", "folders", "packed", "tfrecord"])
+    _add_common(fs)
 
     pk = sub.add_parser(
         "pack", help="pre-decode an image folder into a memmapped .npy")
@@ -195,13 +222,28 @@ def main(argv=None) -> int:
                            num_samples=args.num_samples, step=args.step,
                            overrides=args.overrides, kid=args.kid,
                            prdc=args.prdc, prdc_k=args.prdc_k,
+                           inception_score=args.inception_score,
+                           is_splits=args.is_splits,
+                           ref_stats=args.ref_stats,
                            target_domain=args.target_domain)
-        if args.prdc:
+        if args.inception_score:
+            print(json.dumps({"is": res[0], "is_std": res[1]}))
+        elif args.prdc:
             print(json.dumps(res))
         elif args.kid:
             print(json.dumps({"kid": res[0], "kid_std": res[1]}))
         else:
             print(json.dumps({"fid": res}))
+        return 0
+    if args.cmd == "fid-stats":
+        from uig.cli.fid_stats import run_fid_stats
+
+        extractor = run_fid_stats(
+            args.data_dir, args.output, args.image_size,
+            num_samples=args.num_samples, batch_size=args.batch_size,
+            source=args.source, load_size=args.load_size,
+            overrides=args.overrides)
+        print(json.dumps({"stats": args.output, "extractor": extractor}))
         return 0
     return 1
 

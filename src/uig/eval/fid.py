@@ -72,6 +72,28 @@ class FIDStats:
         self.s += f.sum(0)
         self.ss += f.T @ f
 
+    def save(self, path: str, extractor: str = "", image_size: int = 0):
+        """Persist RAW sums (n, Σx, Σxxᵀ) — exact, mergeable — plus the
+        provenance needed to refuse a mismatched reuse loudly (the
+        pytorch-fid precomputed-statistics workflow: compute the real
+        domain's stats once, reuse them across every eval)."""
+        np.savez(path, n=np.int64(self.n), s=self.s, ss=self.ss,
+                 extractor=np.str_(extractor), image_size=np.int64(image_size))
+
+    @classmethod
+    def load(cls, path: str) -> tuple["FIDStats", str, int]:
+        """Returns (stats, extractor_name, image_size)."""
+        z = np.load(path, allow_pickle=False)
+        for key in ("n", "s", "ss", "extractor", "image_size"):
+            if key not in z:
+                raise ValueError(
+                    f"{path} is not a uig fid-stats file (missing {key!r})")
+        st = cls(int(z["s"].shape[0]))
+        st.n = int(z["n"])
+        st.s = np.asarray(z["s"], np.float64)
+        st.ss = np.asarray(z["ss"], np.float64)
+        return st, str(z["extractor"]), int(z["image_size"])
+
     @property
     def mean(self) -> np.ndarray:
         return self.s / max(self.n, 1)
@@ -147,27 +169,29 @@ def collect_features(real_batches: Iterable, fake_batches: Iterable,
             fs = [np.zeros((0, feature_dim), np.float64)]
         feats.append(np.concatenate(fs, 0))
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        gathered = []
-        for f in feats:
-            # process_allgather needs identical shapes on every process, so
-            # a host with an empty shard can't gather its ragged (0, D)
-            # block directly: gather per-host counts first, pad every block
-            # to the global max, gather, then slice each block back.
-            counts = np.asarray(multihost_utils.process_allgather(
-                np.asarray([f.shape[0]], np.int64))).reshape(-1)
-            max_n = int(counts.max())
-            if max_n == 0:
-                gathered.append(f)  # globally empty → loud error below
-                continue
-            pad = np.zeros((max_n, f.shape[1]), f.dtype)
-            pad[: f.shape[0]] = f
-            blocks = np.asarray(multihost_utils.process_allgather(pad))
-            gathered.append(np.concatenate(
-                [blocks[i, : int(c)] for i, c in enumerate(counts)], 0))
-        feats = gathered
+        feats = [allgather_ragged(f) for f in feats]
     return feats[0], feats[1]
+
+
+def allgather_ragged(f: np.ndarray) -> np.ndarray:
+    """Concatenate per-host feature blocks of differing row counts.
+
+    process_allgather needs identical shapes on every process, so a host
+    with an empty shard can't gather its ragged (0, D) block directly:
+    gather per-host counts first, pad every block to the global max,
+    gather, then slice each block back."""
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([f.shape[0]], np.int64))).reshape(-1)
+    max_n = int(counts.max())
+    if max_n == 0:
+        return f  # globally empty → callers raise their own loud error
+    pad = np.zeros((max_n, f.shape[1]), f.dtype)
+    pad[: f.shape[0]] = f
+    blocks = np.asarray(multihost_utils.process_allgather(pad))
+    return np.concatenate(
+        [blocks[i, : int(c)] for i, c in enumerate(counts)], 0)
 
 
 def compute_kid(real_batches: Iterable, fake_batches: Iterable,
@@ -184,8 +208,35 @@ def compute_kid(real_batches: Iterable, fake_batches: Iterable,
     return kid_from_features(real, fake, **kw)
 
 
-def compute_fid(real_batches: Iterable, fake_batches: Iterable,
-                feature_fn: Callable, feature_dim: int | None = None) -> float:
+def stream_stats(batches: Iterable, feature_fn: Callable,
+                 feature_dim: int | None = None) -> FIDStats:
+    """Accumulate FIDStats over one image stream; multi-host: per-process
+    raw sums are summed across processes (a host with an empty shard
+    contributes n=0 — pass feature_dim to allow that)."""
+    st = FIDStats(feature_dim) if feature_dim is not None else None
+    for b in batches:
+        f = np.asarray(jax.device_get(feature_fn(b)))
+        if st is None:
+            st = FIDStats(f.shape[-1])
+        st.update(f)
+    if st is None:
+        raise ValueError("empty image stream for FID")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        packed = np.concatenate(
+            [np.array([st.n], np.float64), st.s, st.ss.ravel()])
+        summed = multihost_utils.process_allgather(packed).sum(0)
+        st.n = int(summed[0])
+        d = st.s.shape[0]
+        st.s = summed[1 : 1 + d]
+        st.ss = summed[1 + d :].reshape(d, d)
+    return st
+
+
+def compute_fid(real_batches: Iterable | None, fake_batches: Iterable,
+                feature_fn: Callable, feature_dim: int | None = None,
+                real_stats: FIDStats | None = None) -> float:
     """FID between two streams of (B, H, W, 3) images in [-1, 1].
 
     Multi-host: each host streams its shard; stats are summed across
@@ -193,30 +244,18 @@ def compute_fid(real_batches: Iterable, fake_batches: Iterable,
     eval images than processes) contributes n=0 stats and still joins the
     reduction — pass feature_dim to allow that; without it an empty local
     stream is an error.
-    """
-    stats = []
-    for batches in (real_batches, fake_batches):
-        st = FIDStats(feature_dim) if feature_dim is not None else None
-        for b in batches:
-            f = np.asarray(jax.device_get(feature_fn(b)))
-            if st is None:
-                st = FIDStats(f.shape[-1])
-            st.update(f)
-        if st is None:
-            raise ValueError("empty image stream for FID")
-        stats.append(st)
-    r, g = stats
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
 
-        for st in (r, g):
-            packed = np.concatenate(
-                [np.array([st.n], np.float64), st.s, st.ss.ravel()])
-            summed = multihost_utils.process_allgather(packed).sum(0)
-            st.n = int(summed[0])
-            d = st.s.shape[0]
-            st.s = summed[1 : 1 + d]
-            st.ss = summed[1 + d :].reshape(d, d)
+    ``real_stats``: precomputed GLOBAL statistics of the real domain
+    (`uig fid-stats` / FIDStats.load) — the real stream is then skipped
+    entirely (and never reduced: the stats are already global).
+    """
+    if real_stats is not None:
+        r = real_stats
+    elif real_batches is not None:
+        r = stream_stats(real_batches, feature_fn, feature_dim)
+    else:
+        raise ValueError("need real_batches or real_stats")
+    g = stream_stats(fake_batches, feature_fn, feature_dim)
     if r.n == 0 or g.n == 0:
         raise ValueError("empty global image stream for FID")
     return frechet_distance(r.mean, r.cov, g.mean, g.cov)

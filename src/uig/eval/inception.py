@@ -135,7 +135,11 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3Features(nn.Module):
-    """Input: (B, 299, 299, 3) in [-1, 1]. Output: (B, 2048) pool3 features."""
+    """Input: (B, 299, 299, 3) in [-1, 1]. Output: (B, 2048) pool3 features,
+    or (B, num_classes) logits when ``num_classes`` > 0 (the torchvision fc
+    head — needed by the Inception Score; FID never uses it)."""
+
+    num_classes: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -158,12 +162,17 @@ class InceptionV3Features(nn.Module):
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
         x = InceptionE(pool="max", name="Mixed_7c")(x)
-        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, name="fc")(x)
+        return x
 
 
-def init_inception(weights_path: str | None = None):
-    """Returns (apply_fn, params). Weights: .npz with 'a/b/c' flattened keys."""
-    model = InceptionV3Features()
+def init_inception(weights_path: str | None = None, num_classes: int = 0):
+    """Returns (apply_fn, params). Weights: .npz with 'a/b/c' flattened keys.
+    ``num_classes`` > 0 appends the fc head (its weights must then be in the
+    file — export with scripts/export_weights.py --fc)."""
+    model = InceptionV3Features(num_classes=num_classes)
     x = jnp.zeros((1, 299, 299, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     if weights_path:

@@ -163,10 +163,15 @@ class InceptionE(nn.Module):
 
 
 class FIDInceptionV3(nn.Module):
-    """pool3 feature extractor; (B, 3, 299, 299) in [-1, 1] -> (B, 2048)."""
+    """pool3 feature extractor; (B, 3, 299, 299) in [-1, 1] -> (B, 2048).
+    num_classes > 0 appends the torchvision fc head -> (B, num_classes)
+    logits (the Inception Score path)."""
 
-    def __init__(self):
+    def __init__(self, num_classes: int = 0):
         super().__init__()
+        self.num_classes = num_classes
+        if num_classes:
+            self.fc = nn.Linear(2048, num_classes)
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, 3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, 3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, 3, padding=1)
@@ -197,7 +202,10 @@ class FIDInceptionV3(nn.Module):
                      "Mixed_7a", "Mixed_7b", "Mixed_7c"):
             x = getattr(self, name)(x)
         x = F.adaptive_avg_pool2d(x, (1, 1))
-        return x.flatten(1)
+        x = x.flatten(1)
+        if self.num_classes:
+            x = self.fc(x)
+        return x
 
 
 def randomize_bn_stats(model: nn.Module, seed: int = 1) -> None:

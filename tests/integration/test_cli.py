@@ -78,6 +78,40 @@ def test_train_translate_evalfid_cli(tmp_path, png_dirs, capsys):
     assert set(prdc) == {"precision", "recall", "density", "coverage"}
     assert all(np.isfinite(v) and v >= 0 for v in prdc.values())
 
+    # IS needs a class head — the random-feature fallback must refuse
+    # loudly rather than print a meaningless number.
+    import pytest
+
+    with pytest.raises(ValueError, match="Inception Score needs"):
+        main(["eval-fid", "--run-dir", run_dir, "--num-samples", "8",
+              "--inception-score"])
+    capsys.readouterr()
+
+    # Precomputed reference statistics (fid-stats → eval-fid --ref-stats)
+    # reproduce the streamed-reals FID number exactly.
+    stats_path = os.path.join(tmp_path, "ref_stats.npz")
+    rc = main(["fid-stats", "--data-dir", dir_b, "--output", stats_path,
+               "--image-size", "16", "--load-size", "20"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["eval-fid", "--run-dir", run_dir, "--num-samples", "8",
+               "--ref-stats", stats_path])
+    assert rc == 0
+    fid2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["fid"]
+    assert fid2 == fid
+
+    # mismatched provenance and non-FID metrics refuse loudly
+    stats20 = os.path.join(tmp_path, "ref_stats20.npz")
+    rc = main(["fid-stats", "--data-dir", dir_b, "--output", stats20,
+               "--image-size", "20", "--load-size", "20"])
+    assert rc == 0
+    with pytest.raises(ValueError, match="image_size"):
+        main(["eval-fid", "--run-dir", run_dir, "--ref-stats", stats20])
+    with pytest.raises(ValueError, match="FID-only"):
+        main(["eval-fid", "--run-dir", run_dir, "--ref-stats", stats_path,
+              "--kid"])
+    capsys.readouterr()
+
 
 def test_translate_deterministic(tmp_path, png_dirs, capsys):
     """Same ckpt + same inputs -> byte-identical outputs (eval-mode fidelity,

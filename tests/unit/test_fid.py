@@ -135,3 +135,49 @@ def test_compute_kid_empty_stream_is_loud():
     one = jnp.zeros((1, 4, 4, 12))
     with pytest.raises(ValueError, match=">=2"):
         compute_kid(iter([one]), iter([one]), feature_fn, feature_dim=12)
+
+
+def test_ref_stats_roundtrip_exact(tmp_path):
+    """FID vs saved+reloaded real stats == FID vs the streamed reals,
+    bit-for-bit (the npz stores the raw float64 sums, not derived moments)."""
+    import jax.numpy as jnp
+
+    from uig.eval.fid import compute_fid, stream_stats
+
+    rng = np.random.default_rng(7)
+    feature_fn = jax.jit(lambda x: jnp.mean(x, axis=(1, 2)))
+
+    def batches(loc, seed):
+        r = np.random.default_rng(seed)
+        for _ in range(3):
+            yield jnp.asarray(r.normal(loc, 1.0, (5, 4, 4, 12)), jnp.float32)
+
+    st = stream_stats(batches(0.0, 1), feature_fn)
+    path = str(tmp_path / "ref.npz")
+    st.save(path, extractor="mean_pool", image_size=4)
+    loaded, name, size = FIDStats.load(path)
+    assert (name, size, loaded.n) == ("mean_pool", 4, st.n)
+    np.testing.assert_array_equal(loaded.s, st.s)
+    np.testing.assert_array_equal(loaded.ss, st.ss)
+
+    direct = compute_fid(batches(0.0, 1), batches(2.0, 2), feature_fn)
+    via_stats = compute_fid(None, batches(2.0, 2), feature_fn,
+                            real_stats=loaded)
+    assert via_stats == direct
+    del rng
+
+
+def test_ref_stats_bad_inputs_are_loud(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    from uig.eval.fid import compute_fid
+
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not a uig fid-stats file"):
+        FIDStats.load(bad)
+
+    feature_fn = jax.jit(lambda x: jnp.mean(x, axis=(1, 2)))
+    with pytest.raises(ValueError, match="real_batches or real_stats"):
+        compute_fid(None, iter([jnp.zeros((2, 4, 4, 8))]), feature_fn)
