@@ -32,6 +32,13 @@ class ModelConfig:
     g_base_features: int = 64
     n_res_blocks: int = 9
     upsample: str = "conv_transpose"  # conv_transpose | resize_conv
+    # generator resampling topology: "strided" = canonical CycleGAN
+    # (stride-2 convs down, `upsample` up); "antialias" = the official CUT
+    # generator's default — stride-1 conv + blur-pool down, blur-upsample +
+    # conv up (Zhang 2019). Needed to serve/import official CUT checkpoints
+    # (scripts/import_cut_torch.py). Layer indices shift: nce_layers are
+    # per-resample-mode.
+    resample: str = "strided"  # strided | antialias
     norm: str = "instance"  # instance | group | none
     padding: str = "reflect"  # reflect | zeros
     # reflect-conv lowering. "fused": implicit-zero-pad conv + exact border

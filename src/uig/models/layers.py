@@ -359,6 +359,89 @@ class PadConv(nn.Module):
             bsz, h_out, w_out, f)
 
 
+def _binomial_filter(n: int) -> jnp.ndarray:
+    """Row n-1 of Pascal's triangle: [1], [1,1], [1,2,1], [1,3,3,1], ..."""
+    a = jnp.ones((1,), jnp.float32)
+    for _ in range(n - 1):
+        a = jnp.convolve(a, jnp.ones((2,), jnp.float32))
+    return a
+
+
+class BlurPool(nn.Module):
+    """Antialiased downsampling (Zhang 2019 blur-pool): fixed normalized
+    binomial filter, depthwise, stride 2 — the downsampler the official CUT
+    generator uses by default (its `Downsample` module). Parameter-free;
+    pad (filt-1)//2 / ceil((filt-1)/2) in `pad_mode`, then a per-channel
+    VALID conv. Oracle-tested against torch F.conv2d semantics in
+    tests/unit/test_cut_torch_import.py."""
+
+    filt_size: int = 3
+    stride: int = 2
+    pad_mode: str = "reflect"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        a = _binomial_filter(self.filt_size)
+        filt = jnp.outer(a, a)
+        filt = (filt / filt.sum()).astype(self.dtype)
+        kern = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO, groups=C
+        lo = (self.filt_size - 1) // 2
+        hi = self.filt_size - 1 - lo
+        mode = {"reflect": "reflect", "zeros": "constant",
+                "repl": "edge"}[self.pad_mode]
+        xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)), mode=mode)
+        return jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), kern,
+            window_strides=(self.stride, self.stride), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+
+class BlurUpsample(nn.Module):
+    """Antialiased 2x upsampling — the official CUT generator's `Upsample`
+    module: replication-pad 1, then a depthwise TRANSPOSED conv with the
+    normalized binomial filter scaled by stride² (so constants are
+    preserved), cropped to exactly 2x spatial. Parameter-free. Matches
+    torch `F.conv_transpose2d(pad(x), filt, stride=2, padding=1+pad_size,
+    groups=C)[:, :, 1:-1, 1:-1]` for even filt sizes (oracle-tested)."""
+
+    filt_size: int = 4
+    stride: int = 2
+    pad_mode: str = "repl"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.stride != 2:
+            raise NotImplementedError("BlurUpsample supports stride 2")
+        c = x.shape[-1]
+        a = _binomial_filter(self.filt_size)
+        filt = jnp.outer(a, a)
+        filt = (filt / filt.sum() * self.stride ** 2).astype(self.dtype)
+        # torch conv_transpose2d scatters the UNflipped kernel; as a direct
+        # conv over the lhs-dilated input that is a correlation with the
+        # 180°-rotated kernel (symmetric binomial ⇒ identical, but keep the
+        # flip so any filt stays faithful).
+        filt = filt[::-1, ::-1]
+        kern = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))
+        mode = {"repl": "edge", "reflect": "reflect"}[self.pad_mode]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        k = self.filt_size
+        tpad = 1 + (k - 1) // 2  # torch's padding arg
+        p = k - 1 - tpad  # transpose-as-direct-conv edge padding
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), kern, window_strides=(1, 1),
+            padding=((p, p), (p, p)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        # torch crops [1:] then (even filt) [:-1] on each spatial axis
+        if k % 2 == 1:
+            return y[:, 1:, 1:, :]
+        return y[:, 1:-1, 1:-1, :]
+
+
 class UpsampleConv(nn.Module):
     """2x upsampling: conv_transpose (canonical), conv_transpose_torch
     (bit-matches torch ConvTranspose2d(k3,s2,p1,output_padding=1) boundary

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uig.models.layers import InstanceNorm, PadConv, ResnetBlock, UpsampleConv
+from uig.models.layers import (BlurPool, BlurUpsample, InstanceNorm, PadConv,
+                               ResnetBlock, UpsampleConv)
 
 
 class ResNetGenerator(nn.Module):
@@ -32,6 +33,12 @@ class ResNetGenerator(nn.Module):
     norm: str = "instance"
     pad_mode: str = "reflect"
     upsample: str = "conv_transpose"
+    # "strided": canonical CycleGAN resampling (stride-2 convs down,
+    # `upsample` up). "antialias": the official CUT generator's default —
+    # stride-1 conv + blur-pool down, blur-upsample + conv up (Zhang 2019
+    # antialiased resampling; `upsample` is then ignored). Layer indices
+    # shift, so nce tap configs are per-resample-mode.
+    resample: str = "strided"
     head_s2d: int = 0  # space-to-depth factor for the c7s1-3 head (0 = off)
     stem_s2d: int = 0  # same for the c7s1-64 stem conv (0 = off)
     down_s2d: int = 0  # same for the stride-2 downsample convs (0 = off)
@@ -67,14 +74,26 @@ class ResNetGenerator(nn.Module):
             InstanceNorm(dtype=dt),
             "relu",
         ]
+        if self.resample not in ("strided", "antialias"):
+            raise ValueError(f"unknown resample mode {self.resample!r}")
+        aa = self.resample == "antialias"
         # downsample: d128, d256
         for mult in (2, 4):
-            layers += [
-                PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
-                        dtype=dt, s2d_block=self.down_s2d, impl=ci),
-                InstanceNorm(dtype=dt),
-                "relu",
-            ]
+            if aa:
+                layers += [
+                    PadConv(f * mult, 3, stride=1, pad=1, pad_mode="zeros",
+                            dtype=dt, impl=ci),
+                    InstanceNorm(dtype=dt),
+                    "relu",
+                    BlurPool(dtype=dt),
+                ]
+            else:
+                layers += [
+                    PadConv(f * mult, 3, stride=2, pad=1, pad_mode="zeros",
+                            dtype=dt, s2d_block=self.down_s2d, impl=ci),
+                    InstanceNorm(dtype=dt),
+                    "relu",
+                ]
         # residual trunk
         for _ in range(self.n_res_blocks):
             layers += [
@@ -83,11 +102,20 @@ class ResNetGenerator(nn.Module):
             ]
         # upsample: u128, u64
         for mult in (2, 1):
-            layers += [
-                UpsampleConv(f * mult, method=self.upsample, dtype=dt),
-                InstanceNorm(dtype=dt),
-                "relu",
-            ]
+            if aa:
+                layers += [
+                    BlurUpsample(dtype=dt),
+                    PadConv(f * mult, 3, stride=1, pad=1, pad_mode="zeros",
+                            dtype=dt),
+                    InstanceNorm(dtype=dt),
+                    "relu",
+                ]
+            else:
+                layers += [
+                    UpsampleConv(f * mult, method=self.upsample, dtype=dt),
+                    InstanceNorm(dtype=dt),
+                    "relu",
+                ]
         # head: c7s1-3 + tanh
         layers += [
             PadConv(self.out_channels, 7, pad=3, pad_mode=self.pad_mode,
@@ -144,4 +172,5 @@ class ResNetGenerator(nn.Module):
     @property
     def num_layers(self) -> int:
         # static layer count for choosing nce tap indices
-        return 3 + 6 + self.n_res_blocks + 6 + 2
+        per_stage = 4 if self.resample == "antialias" else 3
+        return 3 + 2 * per_stage + self.n_res_blocks + 2 * per_stage + 2

@@ -62,7 +62,7 @@ class CycleGANTrainer:
             n_res_blocks=m.n_res_blocks,
             norm=m.norm,
             pad_mode=m.padding,
-            upsample=m.upsample,
+            upsample=m.upsample, resample=m.resample,
             head_s2d=m.head_s2d,
             stem_s2d=m.stem_s2d,
             down_s2d=m.down_s2d,
@@ -80,7 +80,7 @@ class CycleGANTrainer:
             n_res_blocks=m.n_res_blocks,
             norm=m.norm,
             pad_mode=m.padding,
-            upsample=m.upsample,
+            upsample=m.upsample, resample=m.resample,
             head_s2d=m.head_s2d,
             stem_s2d=m.stem_s2d,
             down_s2d=m.down_s2d,

@@ -144,3 +144,33 @@ def test_fastcut_preset_trains():
     assert not p.loss.nce_include_identity
     assert p.loss.nce_flip_equivariance
     assert p.loss.lambda_nce == 10.0
+
+
+def test_cut_antialias_resample_trains():
+    """model.resample=antialias (the official CUT generator's default
+    topology — blur-pool downs, blur-upsample ups) trains end to end; taps
+    index the shifted antialias layer list."""
+    cfg = _cfg(2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, resample="antialias",
+                                       nce_layers=(0, 4, 6, 10)))
+    mesh = make_mesh(2)
+    tr = CUTTrainer(cfg, mesh)
+    assert tr.generator.num_layers == 3 + 8 + 1 + 8 + 2
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+    batch = shard_batch(mesh, (a, b))
+    losses = []
+    for _ in range(6):
+        state, m = tr.train_step(state, batch)
+        vals = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        losses.append(vals)
+    assert losses[-1]["g_loss"] < losses[0]["g_loss"]
+
+    import jax.numpy as jnp
+
+    y = tr.translate(state.ema, jnp.zeros((1, 16, 16, 3)))
+    assert y.shape == (1, 16, 16, 3)
