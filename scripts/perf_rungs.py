@@ -22,6 +22,12 @@ RUNGS = {
     "cyclegan128": ("cyclegan128", [], 16),
     "cyclegan256": ("cyclegan256_dp", [], 16),
     "cut256": ("cut256_multihost", ["parallel.multihost=False"], 16),
+    # the official CUT topology (blur-pool/blur-up resampling); taps shifted
+    # to the antialias layer list (stem / both post-IN-relu down features /
+    # mid-trunk — the same stages the strided taps hit)
+    "cut256_antialias": ("cut256_multihost", [
+        "parallel.multihost=False", "model.resample=antialias",
+        "model.nce_layers=(0,6,10,15)"], 16),
     "fastcut256": ("fastcut256", [], 16),
     "unit256": ("unit256", [], 16),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
