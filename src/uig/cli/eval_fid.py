@@ -12,7 +12,7 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                  batch_size: int = 16, overrides=(), kid: bool = False,
                  prdc: bool = False, prdc_k: int = 5,
                  inception_score: bool = False, is_splits: int = 10,
-                 ref_stats: str | None = None,
+                 ref_stats: str | None = None, diversity: int = 0,
                  target_domain: int | None = None):
     """Returns FID, or (KID mean, KID std) when ``kid`` — the unbiased
     small-sample metric (polynomial-kernel MMD over the same features) —
@@ -31,9 +31,9 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
     from uig.eval.fid import FIDStats, compute_fid, compute_kid, make_feature_fn
     from uig.kernels import center_crop_normalize
 
-    if ref_stats and (kid or prdc or inception_score):
+    if ref_stats and (kid or prdc or inception_score or diversity):
         raise ValueError("--ref-stats is FID-only: KID/PRDC need the raw "
-                         "real features and IS never looks at reals")
+                         "real features and IS/diversity never look at reals")
     cfg, trainer, state = load_run(run_dir, step, overrides)
     crop = cfg.model.image_size
     if cfg.model.kind in ("stargan", "starganv2"):
@@ -53,12 +53,15 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                     [tgt[i] for i in range(s, min(s + batch_size, n))])
                 yield center_crop_normalize(jnp.asarray(raw), crop)
 
-        def fake_batches():
+        def source_batches():
             for s in range(0, n, batch_size):
                 raw = np.stack(
                     [sources[i % len(sources)][i]
                      for i in range(s, min(s + batch_size, n))])
-                x = center_crop_normalize(jnp.asarray(raw), crop)
+                yield center_crop_normalize(jnp.asarray(raw), crop)
+
+        def fake_batches():
+            for x in source_batches():
                 yield trainer.translate(state.ema, x, t)
     else:
         ds_a, ds_b = eval_datasets(cfg)
@@ -73,12 +76,58 @@ def run_eval_fid(run_dir: str, direction: str = "a2b",
                     [tgt[i] for i in range(s, min(s + batch_size, n))])
                 yield center_crop_normalize(jnp.asarray(raw), crop)
 
-        def fake_batches():
+        def source_batches():
             for s in range(0, n, batch_size):
                 raw = np.stack(
                     [src[i] for i in range(s, min(s + batch_size, n))])
-                x = center_crop_normalize(jnp.asarray(raw), crop)
+                yield center_crop_normalize(jnp.asarray(raw), crop)
+
+        def fake_batches():
+            for x in source_batches():
                 yield trainer.translate(state.ema, x, direction)
+
+    if diversity:
+        # Multimodal output diversity (the MUNIT / StarGAN-v2 papers'
+        # LPIPS-diversity protocol): the SAME sources translated under
+        # `diversity` different style seeds, mean pairwise LPIPS across
+        # seeds. Higher = more distinct output modes; a collapsed
+        # style pathway scores ~0. Deterministic families have one output
+        # mode by construction — loud error, not a meaningless 0.
+        import jax
+
+        from uig.eval.lpips import make_lpips
+
+        if diversity < 2:
+            raise ValueError("--diversity needs >=2 style seeds")
+        kind = cfg.model.kind
+        if kind == "munit":
+            def tr_fn(x, s):
+                return trainer.translate(
+                    state.ema, x, direction,
+                    style_rng=jax.random.PRNGKey(s))
+        elif kind == "starganv2":
+            tt = target_domain or 0
+
+            def tr_fn(x, s):
+                return trainer.translate(state.ema, x, tt, style_seed=s)
+        else:
+            raise ValueError(
+                f"--diversity needs a multimodal family (munit|starganv2); "
+                f"kind={kind!r} is deterministic per input")
+        w = cfg.eval.vgg_weights or None
+        lp = jax.jit(make_lpips(cfg, weights_path=w))
+        dname = "lpips_vgg" if w else "lpips_untrained"
+        tot, cnt = 0.0, 0
+        for x in source_batches():
+            ys = [tr_fn(x, s) for s in range(diversity)]
+            for i in range(len(ys)):
+                for j in range(i + 1, len(ys)):
+                    tot += float(lp(ys[i], ys[j]))
+                    cnt += 1
+        div = tot / cnt
+        print(f"diversity[{dname}] over {n} samples x {diversity} seeds "
+              f"({direction}): {div:.4f}")
+        return div
 
     if inception_score:
         # IS scores the translated stream alone — class probabilities from

@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead (needs weights exported with --fc)")
     ev.add_argument("--is-splits", type=int, default=10,
                     help="IS split count (default 10)")
+    ev.add_argument("--diversity", type=int, default=0, metavar="N_SEEDS",
+                    help="multimodal (kind=munit|starganv2) runs: report "
+                         "mean pairwise LPIPS over N style seeds of the "
+                         "same sources instead (the papers' diversity "
+                         "protocol)")
     ev.add_argument("--ref-stats", default=None,
                     help="precomputed real-domain statistics npz (from "
                          "`uig fid-stats`) — skips streaming the reals; "
@@ -225,8 +230,11 @@ def main(argv=None) -> int:
                            inception_score=args.inception_score,
                            is_splits=args.is_splits,
                            ref_stats=args.ref_stats,
+                           diversity=args.diversity,
                            target_domain=args.target_domain)
-        if args.inception_score:
+        if args.diversity:
+            print(json.dumps({"diversity": res, "seeds": args.diversity}))
+        elif args.inception_score:
             print(json.dumps({"is": res[0], "is_std": res[1]}))
         elif args.prdc:
             print(json.dumps(res))

@@ -87,6 +87,13 @@ def test_train_translate_evalfid_cli(tmp_path, png_dirs, capsys):
               "--inception-score"])
     capsys.readouterr()
 
+    # diversity is for multimodal families only — cyclegan is deterministic
+    # per input, so the answer is a loud error, not a meaningless 0
+    with pytest.raises(ValueError, match="multimodal family"):
+        main(["eval-fid", "--run-dir", run_dir, "--num-samples", "4",
+              "--diversity", "2"])
+    capsys.readouterr()
+
     # Precomputed reference statistics (fid-stats → eval-fid --ref-stats)
     # reproduce the streamed-reals FID number exactly.
     stats_path = os.path.join(tmp_path, "ref_stats.npz")

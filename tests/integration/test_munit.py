@@ -249,3 +249,15 @@ def test_munit_cli_train_ckpt_translate_with_style(tmp_path):
         outs[tag] = np.asarray(Image.open(os.path.join(out_dir, files[0])))
     # a non-zero style seed must change the output image
     assert not np.array_equal(outs["zero"], outs["seeded"])
+
+    # diversity metric (mean pairwise LPIPS over style seeds): finite,
+    # positive for a style-conditioned model, deterministic across calls
+    import pytest
+
+    from uig.cli.eval_fid import run_eval_fid
+
+    d1 = run_eval_fid(run_dir, num_samples=4, batch_size=2, diversity=2)
+    d2 = run_eval_fid(run_dir, num_samples=4, batch_size=2, diversity=2)
+    assert np.isfinite(d1) and d1 > 0 and d1 == d2
+    with pytest.raises(ValueError, match=">=2 style seeds"):
+        run_eval_fid(run_dir, num_samples=4, diversity=1)
