@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "integer domain to translate INTO (default 0); "
                          "--direction is ignored there")
     tr.add_argument("--source", default="auto",
-                    choices=["auto", "folders", "packed", "tfrecord"],
+                    choices=["auto", "folders", "packed", "tfrecord", "webdataset"],
                     help="input format (auto-detected by default)")
     tr.add_argument("--attention-dir", default=None,
                     help="attention (kind=ugatit) runs: also write each "
@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="host resize before crop (default: config "
                          "data.load_size)")
     fs.add_argument("--source", default="auto",
-                    choices=["auto", "folders", "packed", "tfrecord"])
+                    choices=["auto", "folders", "packed", "tfrecord", "webdataset"])
     _add_common(fs)
 
     pk = sub.add_parser(

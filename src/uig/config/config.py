@@ -259,7 +259,7 @@ class OptConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    source: str = "synthetic"  # synthetic | folders
+    source: str = "synthetic"  # synthetic | folders | packed | tfrecord | webdataset
     dir_a: str = ""
     dir_b: str = ""
     # StarGAN multi-domain sources: one image folder per domain (must match

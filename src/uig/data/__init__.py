@@ -17,6 +17,11 @@ def eval_datasets(cfg):
 
         return (TFRecordImageDataset(d.dir_a, d.load_size),
                 TFRecordImageDataset(d.dir_b, d.load_size))
+    if d.source == "webdataset":
+        from uig.data.datasets import WebDatasetImageDataset
+
+        return (WebDatasetImageDataset(d.dir_a, d.load_size),
+                WebDatasetImageDataset(d.dir_b, d.load_size))
     syn = SyntheticUnpairedDataset(d.synthetic_len, d.load_size, d.shuffle_seed)
     return syn.domain_a, syn.domain_b
 

@@ -202,6 +202,67 @@ class TFRecordImageDataset:
             return np.asarray(im, dtype=np.uint8)
 
 
+class WebDatasetImageDataset:
+    """Random-access reader for WebDataset-style ``.tar`` shards of encoded
+    images (the img2dataset / webdataset ecosystem's on-disk format).
+
+    Tar is sequential; random access (uig's pure-function-of-counter
+    sampling needs it) comes from a one-time stdlib ``tarfile`` member scan
+    per shard recording (data offset, size) of every image member —
+    no webdataset dependency, reads are a seek+read+decode. Members sort by
+    (shard path, member name) so ordering is stable across hosts; decode is
+    PIL + BILINEAR resize, the same resampler as every other source, so a
+    dataset trains identically regardless of container format.
+    """
+
+    def __init__(self, paths, load_size: int):
+        import tarfile
+
+        if isinstance(paths, str):
+            paths = sorted(
+                [paths] if os.path.isfile(paths) else [
+                    os.path.join(paths, f) for f in os.listdir(paths)
+                    if f.endswith(".tar")
+                ]
+            )
+        if not paths:
+            raise FileNotFoundError("no .tar shards found")
+        self.paths = list(paths)
+        self.load_size = load_size
+        # (file_index, data_offset, size, member_name) per image member
+        self._index: list[tuple[int, int, int, str]] = []
+        for fi, p in enumerate(self.paths):
+            members = []
+            with tarfile.open(p, "r") as tf:
+                for m in tf:
+                    if m.isfile() and m.name.lower().endswith(_IMG_EXTS):
+                        members.append((fi, m.offset_data, m.size, m.name))
+            members.sort(key=lambda t: t[3])
+            self._index.extend(members)
+        if not self._index:
+            raise ValueError(f"no image members in {self.paths}")
+        # stable serving stems (see item_names)
+        self.files = [name for _, _, _, name in self._index]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        fi, off, size, _ = self._index[idx]
+        with open(self.paths[fi], "rb") as f:
+            f.seek(off)
+            raw = f.read(size)
+        with Image.open(io.BytesIO(raw)) as im:
+            im = im.convert("RGB")
+            s = self.load_size
+            im = im.resize((s, s), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
+
+
 def _example_feature(serialized: bytes, key: str) -> bytes:
     """First bytes value of ``key`` in a serialized tf.train.Example."""
     try:
@@ -346,21 +407,27 @@ class SyntheticMultiDomainDataset:
 def resolve_dataset(path: str, load_size: int, source: str = "auto"):
     """Open an index-addressable dataset of any supported on-disk format.
 
-    ``source``: folders | packed | tfrecord | auto. "auto" detects by path
-    shape: a ``.npy`` file → packed; a ``.tfrecord(s)`` file or a directory
-    containing them → tfrecord; any other directory → image folder. Used by
-    the translate/eval CLIs so every trainable source is also servable
-    (inference parity with the training pipeline's source resolution).
+    ``source``: folders | packed | tfrecord | webdataset | auto. "auto"
+    detects by path shape: a ``.npy`` file → packed; a ``.tfrecord(s)``
+    file or a directory containing them → tfrecord; a ``.tar`` file or a
+    directory of them → webdataset; any other directory → image folder.
+    Used by the translate/eval CLIs so every trainable source is also
+    servable (inference parity with the training pipeline's source
+    resolution).
     """
     if source == "auto":
         if path.endswith(".npy"):
             source = "packed"
         elif path.endswith((".tfrecord", ".tfrecords")):
             source = "tfrecord"
+        elif path.endswith(".tar"):
+            source = "webdataset"
         elif os.path.isdir(path):
             entries = os.listdir(path)
             if any(f.endswith((".tfrecord", ".tfrecords")) for f in entries):
                 source = "tfrecord"
+            elif any(f.endswith(".tar") for f in entries):
+                source = "webdataset"
             elif any(f.endswith(".npy") for f in entries):
                 raise ValueError(
                     f"{path!r} is a directory of packed .npy shards — point "
@@ -382,6 +449,8 @@ def resolve_dataset(path: str, load_size: int, source: str = "auto"):
         return PackedDataset(path, load_size)
     if source == "tfrecord":
         return TFRecordImageDataset(path, load_size)
+    if source == "webdataset":
+        return WebDatasetImageDataset(path, load_size)
     raise ValueError(f"unknown dataset source {source!r}")
 
 

@@ -310,6 +310,11 @@ def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
 
         ds_a = TFRecordImageDataset(d.dir_a, d.load_size)
         ds_b = TFRecordImageDataset(d.dir_b, d.load_size)
+    elif d.source == "webdataset":
+        from uig.data.datasets import WebDatasetImageDataset
+
+        ds_a = WebDatasetImageDataset(d.dir_a, d.load_size)
+        ds_b = WebDatasetImageDataset(d.dir_b, d.load_size)
     else:
         raise ValueError(f"unknown data source {d.source!r}")
 

@@ -193,3 +193,14 @@ def test_translate_packed_and_tfrecord_sources(tmp_path, png_dirs, capsys):
             w.write(ex.SerializeToString())
     from_tfrecord = translate(tfdir, "out_tfrecord")
     np.testing.assert_array_equal(from_folder, from_tfrecord)
+
+    # webdataset (.tar of encoded images) — stdlib tar, no extra deps
+    import tarfile
+
+    wds_dir = os.path.join(tmp_path, "wds")
+    os.makedirs(wds_dir)
+    with tarfile.open(os.path.join(wds_dir, "shard-000.tar"), "w") as tw:
+        for f in sorted(os.listdir(dir_a)):
+            tw.add(os.path.join(dir_a, f), arcname=f)
+    from_wds = translate(wds_dir, "out_wds")  # auto-detected by .tar
+    np.testing.assert_array_equal(from_folder, from_wds)
