@@ -456,8 +456,12 @@ def resolve_dataset(path: str, load_size: int, source: str = "auto"):
 
 def item_names(ds) -> list:
     """Stable output-file stems for a dataset (file basenames when the
-    source has files, zero-padded indices otherwise)."""
+    source has files, zero-padded indices otherwise). Non-unique stems
+    (e.g. same member name in two webdataset shards) fall back to indices
+    so translate outputs never silently overwrite each other."""
     files = getattr(ds, "files", None)
     if files:
-        return [os.path.splitext(os.path.basename(f))[0] for f in files]
+        stems = [os.path.splitext(os.path.basename(f))[0] for f in files]
+        if len(set(stems)) == len(stems):
+            return stems
     return [f"{i:06d}" for i in range(len(ds))]

@@ -83,3 +83,19 @@ def test_pipeline_trains_from_webdataset(tar_shards, tmp_path):
     pipe.stop()
     assert a.shape == (2, 24, 24, 3) and a.dtype == np.uint8
     assert b.shape == (2, 24, 24, 3)
+
+
+def test_item_names_fall_back_on_cross_shard_collisions(tmp_path):
+    """Two shards containing the same member name must not produce
+    colliding translate output stems."""
+    from uig.data.datasets import item_names
+
+    syn = SyntheticUnpairedDataset(n=2, load_size=24, seed=0)
+    dir_a, _ = syn.write_png_dirs(str(tmp_path / "png"))
+    f = sorted(os.listdir(dir_a))[0]
+    for shard in ("s0.tar", "s1.tar"):
+        with tarfile.open(tmp_path / shard, "w") as tw:
+            tw.add(os.path.join(dir_a, f), arcname=f)
+    ds = WebDatasetImageDataset(str(tmp_path), load_size=24)
+    names = item_names(ds)
+    assert len(set(names)) == len(ds) == 2
