@@ -242,7 +242,21 @@ class OptConfig:
     # linear decay to 0 after `decay_start_step`, reaching 0 at `total_steps`
     total_steps: int = 200_000
     decay_start_step: int = 100_000
+    # decay shape after decay_start_step: linear (canonical CycleGAN),
+    # cosine (half-cosine to 0 at total_steps), or constant (no decay)
+    lr_decay: str = "linear"
+    # linear lr warmup 0→lr over the first N steps (0 = off); composes with
+    # any lr_decay shape and with d_lr_ratio/f_lr_ratio scaling
+    warmup_steps: int = 0
     ema_decay: float = 0.999
+    # split the per-device batch into k microbatches whose forward/backward
+    # run sequentially under lax.scan INSIDE the one compiled step
+    # (train/microbatch.py): peak activation memory ~ B_local/k at unchanged
+    # FLOPs and an IDENTICAL training trajectory (all losses are batch
+    # means; fp reassociation only — with ADA on, augmentation draws are
+    # resampled per microbatch). The in-graph alternative to model.remat
+    # when batch > 1. Per-device batch must divide by k. 1 = off.
+    grad_accum: int = 1
     pool_size: int = 50  # replay buffer (per data-parallel shard)
     # D learning rate = lr * d_lr_ratio (TTUR-style knob; <1 weakens D on
     # small datasets)

@@ -33,6 +33,7 @@ from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
 from uig.train.pool import ImagePool, PoolState
+from uig.train.microbatch import validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 
 
@@ -128,6 +129,7 @@ class CUTTrainer:
         self.pool = ImagePool(cfg.opt.pool_size)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        validate_grad_accum(cfg, 'CUTTrainer', supported=False)
         self._ada = ada.ada_enabled(cfg.loss)
         self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
         if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":

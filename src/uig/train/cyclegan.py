@@ -35,6 +35,7 @@ from uig.runtime.prng import fold_step, split_named
 from uig.train import losses as L
 from uig.train import ada
 from uig.train.ema import ema_update
+from uig.train.microbatch import microbatch_value_and_grad, validate_grad_accum
 from uig.train.pool import ImagePool, PoolState
 from uig.train.state import CycleGANState, lr_schedule, make_optimizer
 
@@ -107,6 +108,9 @@ class CycleGANTrainer:
             )
         self.local_batch = cfg.data.batch_size // n
         self.n_devices = n
+        self._grad_accum = validate_grad_accum(
+            cfg, "CycleGANTrainer", supported=True,
+            local_batch=self.local_batch)
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_apply, static_argnames=("a2b",))
 
@@ -220,15 +224,29 @@ class CycleGANTrainer:
         # augmentation pipeline (train/ada.py) — reals, pool fakes, and the
         # fakes in the G loss (G gets gradients through it). Fresh per-use
         # keys derive from the step key so the step stays deterministic.
+        # Under grad_accum>1 each microbatch folds its scan index in so the
+        # per-image draws stay independent across microbatches (identical
+        # distribution; values match grad_accum=1 only when ADA is off).
+        k_accum = self._grad_accum
         if self._ada:
             ada_key = jax.random.fold_in(step_key, 0xADA)
-            T = lambda x, i: ada.diff_augment(
-                x, jax.random.fold_in(ada_key, i), state.ada_p, self._ada_ops)
+
+            def make_T(mb_i):
+                key = ada_key if k_accum == 1 else \
+                    jax.random.fold_in(ada_key, mb_i)
+                return lambda x, i: ada.diff_augment(
+                    x, jax.random.fold_in(key, i), state.ada_p,
+                    self._ada_ops)
         else:
-            T = lambda x, i: x
+            def make_T(mb_i):
+                return lambda x, i: x
+
+        T = make_T(jnp.int32(0))
 
         # ---------------- G update ----------------
-        def g_loss_fn(g_params):
+        def g_loss_fn(g_params, mb, mb_i):
+            real_a, real_b = mb
+            T = make_T(mb_i)
             idt_a = idt_b = None
             if fuse and lam_id > 0:
                 # fake and identity passes share params — run each
@@ -281,9 +299,8 @@ class CycleGANTrainer:
             }
             return total, aux
 
-        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+        (g_loss, aux), g_grads = microbatch_value_and_grad(
+            g_loss_fn, state.g_params, (real_a, real_b), k_accum)
         g_grads = jax.lax.pmean(g_grads, axis)
         g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -301,7 +318,9 @@ class CycleGANTrainer:
         dr_a, df_a = T(real_a, 2), T(d_fake_a, 3)
         dr_b, df_b = T(real_b, 4), T(d_fake_b, 5)
 
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params, mb, mb_i):
+            del mb_i  # D inputs were augmented at full batch above
+            dr_a, df_a, dr_b, df_b = mb
             if fuse:
                 ra, fa = jnp.split(
                     D.apply(d_params["a"],
@@ -328,9 +347,8 @@ class CycleGANTrainer:
                 aux["ada_rt"] = ada.ada_heuristic((ra, rb), loss_cfg.gan_mode)
             return total, aux
 
-        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params
-        )
+        (d_loss, d_aux), d_grads = microbatch_value_and_grad(
+            d_loss_fn, state.d_params, (dr_a, df_a, dr_b, df_b), k_accum)
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)

@@ -46,6 +46,7 @@ from uig.runtime.prng import fold_step, split_named
 from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
+from uig.train.microbatch import validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 from uig.train.ugatit_trainer import clip_rho
 
@@ -106,6 +107,7 @@ class NICEGANTrainer:
         self.g_tx = make_optimizer(cfg.opt)
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self._lr = lr_schedule(cfg.opt)
+        validate_grad_accum(cfg, 'NICEGANTrainer', supported=False)
         self._ada = ada.ada_enabled(cfg.loss)
         self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
         if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":

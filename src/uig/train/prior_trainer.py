@@ -28,6 +28,7 @@ from uig.kernels.augment import augment
 from uig.models.prior import CodePrior, sample_codes
 from uig.models.vqgan import VQGANGenerator
 from uig.runtime.prng import fold_step, split_named
+from uig.train.microbatch import validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 
 
@@ -82,6 +83,7 @@ class PriorTrainer:
             vqgan_params, NamedSharding(mesh, P()))
         self.tx = make_optimizer(cfg.opt)
         self._lr = lr_schedule(cfg.opt)
+        validate_grad_accum(cfg, 'PriorTrainer', supported=False)
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:

@@ -49,6 +49,7 @@ from uig.runtime.prng import fold_step, split_named
 from uig.train import ada
 from uig.train import losses as L
 from uig.train.ema import ema_update
+from uig.train.microbatch import validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 
 
@@ -122,6 +123,7 @@ class StarGANv2Trainer:
         self.e_tx = make_optimizer(cfg.opt)
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self._lr = lr_schedule(cfg.opt)
+        validate_grad_accum(cfg, 'StarGANv2Trainer', supported=False)
         self._ada = ada.ada_enabled(cfg.loss)
         self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
 

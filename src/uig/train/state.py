@@ -34,16 +34,39 @@ class CycleGANState(struct.PyTreeNode):
 
 
 def lr_schedule(opt: OptConfig, lr_scale: float = 1.0):
-    """Constant lr, then linear decay to 0 over the remaining steps
-    (the canonical CycleGAN schedule: flat for the first half, linear to
-    zero over the second half). ``lr_scale`` implements opt.d_lr_ratio
-    (TTUR-style separate D learning rate)."""
+    """Learning-rate schedule shared by every trainer (opt.lr_decay):
+
+      linear   — flat until ``decay_start_step``, then linear to 0 at
+                 ``total_steps`` (the canonical CycleGAN schedule)
+      cosine   — flat until ``decay_start_step``, then half-cosine to 0 at
+                 ``total_steps``
+      constant — flat for the whole run
+
+    ``opt.warmup_steps > 0`` composes a linear ramp 0→lr over the first
+    warmup steps with any of the above. ``lr_scale`` implements
+    opt.d_lr_ratio / f_lr_ratio (TTUR-style per-network learning rates).
+    """
     decay_steps = max(opt.total_steps - opt.decay_start_step, 1)
+    kind = opt.lr_decay
+    if kind not in ("linear", "cosine", "constant"):
+        raise ValueError(
+            f"opt.lr_decay must be linear|cosine|constant, got {kind!r}")
+    if opt.warmup_steps < 0:
+        raise ValueError(f"opt.warmup_steps must be >= 0, got {opt.warmup_steps}")
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         frac = jnp.clip((step - opt.decay_start_step) / decay_steps, 0.0, 1.0)
-        return opt.lr * lr_scale * (1.0 - frac)
+        if kind == "linear":
+            decay = 1.0 - frac
+        elif kind == "cosine":
+            decay = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        else:
+            decay = 1.0
+        lr = opt.lr * lr_scale * decay
+        if opt.warmup_steps > 0:
+            lr = lr * jnp.clip((step + 1.0) / opt.warmup_steps, 0.0, 1.0)
+        return lr
 
     return schedule
 

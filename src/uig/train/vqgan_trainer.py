@@ -30,6 +30,7 @@ from uig.models.vqgan import VQGANGenerator
 from uig.runtime.prng import fold_step, split_named
 from uig.train import losses as L
 from uig.train.ema import ema_update
+from uig.train.microbatch import validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 
 
@@ -93,6 +94,7 @@ class VQGANTrainer:
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
+        validate_grad_accum(cfg, 'VQGANTrainer', supported=False)
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:

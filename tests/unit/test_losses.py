@@ -91,6 +91,45 @@ def test_d_lr_ratio_scales_schedule():
     np.testing.assert_allclose(float(half), float(base) * 0.5, rtol=1e-6)
 
 
+def test_lr_decay_shapes_and_warmup():
+    import dataclasses
+
+    from uig.config.config import OptConfig
+    from uig.train.state import lr_schedule
+
+    opt = OptConfig(lr=1e-3, total_steps=100, decay_start_step=50)
+    lin = lr_schedule(opt)
+    # linear: flat, then linear to 0
+    np.testing.assert_allclose(float(lin(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(50)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(75)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(100)), 0.0, atol=1e-12)
+
+    cos = lr_schedule(dataclasses.replace(opt, lr_decay="cosine"))
+    np.testing.assert_allclose(float(cos(50)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(cos(75)), 5e-4, rtol=1e-6)  # half-cosine midpoint
+    np.testing.assert_allclose(float(cos(100)), 0.0, atol=1e-12)
+    # cosine decays slower than linear early, faster late
+    assert float(cos(60)) > float(lin(60))
+    assert float(cos(95)) < float(lin(95))
+
+    const = lr_schedule(dataclasses.replace(opt, lr_decay="constant"))
+    np.testing.assert_allclose(float(const(99)), 1e-3, rtol=1e-6)
+
+    warm = lr_schedule(dataclasses.replace(opt, warmup_steps=10))
+    np.testing.assert_allclose(float(warm(0)), 1e-4, rtol=1e-6)  # (0+1)/10
+    np.testing.assert_allclose(float(warm(4)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(9)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(20)), 1e-3, rtol=1e-6)
+    # warmup composes with decay
+    np.testing.assert_allclose(float(warm(75)), 5e-4, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="lr_decay"):
+        lr_schedule(dataclasses.replace(opt, lr_decay="step"))
+    with pytest.raises(ValueError, match="warmup_steps"):
+        lr_schedule(dataclasses.replace(opt, warmup_steps=-1))
+
+
 def test_cut_patch_ids_without_replacement_lower_floor():
     """VERDICT round-2 item 9: sampling NCE patch locations WITHOUT
     replacement (sample_patch_ids) gives distinct ids and a measurably
