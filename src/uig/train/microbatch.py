@@ -37,7 +37,7 @@ from uig.config import Config
 
 
 # trainers whose grads route through microbatch_value_and_grad
-SUPPORTED_TRAINERS = ("CycleGANTrainer",)
+SUPPORTED_TRAINERS = ("CycleGANTrainer", "VQGANTrainer")
 
 
 def validate_grad_accum(cfg: Config, trainer: str, supported: bool,

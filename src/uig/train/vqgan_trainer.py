@@ -30,7 +30,7 @@ from uig.models.vqgan import VQGANGenerator
 from uig.runtime.prng import fold_step, split_named
 from uig.train import losses as L
 from uig.train.ema import ema_update
-from uig.train.microbatch import validate_grad_accum
+from uig.train.microbatch import microbatch_value_and_grad, validate_grad_accum
 from uig.train.state import lr_schedule, make_optimizer
 
 
@@ -94,7 +94,6 @@ class VQGANTrainer:
         self.d_tx = make_optimizer(cfg.opt, lr_scale=cfg.opt.d_lr_ratio)
         self.perceptual_fn = perceptual_fn
         self._lr = lr_schedule(cfg.opt)
-        validate_grad_accum(cfg, 'VQGANTrainer', supported=False)
 
         n = mesh.devices.size
         if cfg.data.batch_size % n:
@@ -102,6 +101,17 @@ class VQGANTrainer:
                 f"global batch {cfg.data.batch_size} not divisible by {n} devices")
         self.local_batch = cfg.data.batch_size // n
         self.n_devices = n
+        # the VQGAN step trains over the 2B union batch (A‖B concat), so
+        # the microbatch divisibility constraint is on 2·local_batch
+        self._grad_accum = validate_grad_accum(
+            cfg, "VQGANTrainer", supported=True,
+            local_batch=2 * self.local_batch)
+        if self._grad_accum > 1 and cfg.loss.vq_adaptive_weight:
+            raise ValueError(
+                "opt.grad_accum>1 cannot be combined with "
+                "loss.vq_adaptive_weight: the adaptive weight needs the "
+                "full-batch grad-norm ratio BEFORE the microbatched "
+                "backward (would double the forward FLOPs)")
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_apply)
 
@@ -187,12 +197,12 @@ class VQGANTrainer:
         g_apply = (jax.checkpoint(self.generator.apply) if self._remat == "full"
                    else self.generator.apply)
 
-        def _nll_and_adv(g_params):
-            recon, vq = g_apply(g_params, x)
-            rec = L.l1_loss(x, recon)
+        def _nll_and_adv(g_params, xb):
+            recon, vq = g_apply(g_params, xb)
+            rec = L.l1_loss(xb, recon)
             lpips = jnp.float32(0.0)
             if loss_cfg.lambda_lpips > 0 and self.perceptual_fn is not None:
-                lpips = loss_cfg.lambda_lpips * self.perceptual_fn(x, recon)
+                lpips = loss_cfg.lambda_lpips * self.perceptual_fn(xb, recon)
             adv = L.gan_loss_g(self.discriminator.apply(state.d_params, recon),
                                loss_cfg.gan_mode)
             return recon, vq, rec, lpips, adv
@@ -217,11 +227,12 @@ class VQGANTrainer:
                 return sub(p, list(path))
 
             def _nll_of(k):
-                _, _, rec, lpips, _ = _nll_and_adv(_with_last(state.g_params, k))
+                _, _, rec, lpips, _ = _nll_and_adv(
+                    _with_last(state.g_params, k), x)
                 return rec + lpips
 
             def _adv_of(k):
-                return _nll_and_adv(_with_last(state.g_params, k))[4]
+                return _nll_and_adv(_with_last(state.g_params, k), x)[4]
 
             last_k = self._get_last_kernel(state.g_params)
             g_nll = jax.grad(_nll_of)(last_k)
@@ -231,16 +242,20 @@ class VQGANTrainer:
             lam_adapt = jax.lax.stop_gradient(
                 jnp.clip(lam_adapt, 0.0, 1e4))
 
-        def g_loss_fn(g_params):
-            recon, vq, rec, lpips, adv = _nll_and_adv(g_params)
+        # under grad_accum>1 every scalar below is a batch mean (exact
+        # accumulation) except perplexity, which becomes a mean of
+        # per-microbatch perplexities — a metric-only approximation
+        def g_loss_fn(g_params, xb, mb_i):
+            del mb_i
+            recon, vq, rec, lpips, adv = _nll_and_adv(g_params, xb)
             codebook = vq.codebook_loss + cfg.model.vq_beta * vq.commitment_loss
             total = rec + codebook + adv_w * lam_adapt * adv + lpips
             return total, {"recon": recon, "rec": rec, "codebook": codebook,
                            "g_adv": adv, "perplexity": vq.perplexity,
                            "lpips": lpips}
 
-        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params)
+        (g_loss, aux), g_grads = microbatch_value_and_grad(
+            g_loss_fn, state.g_params, x, self._grad_accum)
         g_grads = jax.lax.pmean(g_grads, axis)
         g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -248,21 +263,23 @@ class VQGANTrainer:
 
         fake = jax.lax.stop_gradient(aux["recon"])
 
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params, mb, mb_i):
+            del mb_i
+            xb, fakeb = mb
             if cfg.model.fused_applies:
                 # real/fake share D params: ONE 2B apply (same math — see
                 # ModelConfig.fused_applies; equivalence tested for the
                 # CycleGAN/CUT trainers which share this structure)
                 r, f = jnp.split(self.discriminator.apply(
-                    d_params, jnp.concatenate([x, fake], 0)), 2, 0)
+                    d_params, jnp.concatenate([xb, fakeb], 0)), 2, 0)
                 return L.gan_loss_d(r, f, loss_cfg.gan_mode), {}
             return L.gan_loss_d(
-                self.discriminator.apply(d_params, x),
-                self.discriminator.apply(d_params, fake),
+                self.discriminator.apply(d_params, xb),
+                self.discriminator.apply(d_params, fakeb),
                 loss_cfg.gan_mode), {}
 
-        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params)
+        (d_loss, _), d_grads = microbatch_value_and_grad(
+            d_loss_fn, state.d_params, (x, fake), self._grad_accum)
         d_grads = jax.lax.pmean(d_grads, axis)
         d_updates, d_opt_new = self.d_tx.update(d_grads, state.d_opt,
                                                 state.d_params)

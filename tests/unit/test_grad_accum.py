@@ -123,6 +123,79 @@ def test_grad_accum_with_ada_trains():
     assert all(np.isfinite(float(v)) for v in m.values())
 
 
+def test_vqgan_grad_accum_matches_single_step():
+    """VQGAN is the memory-bound rung grad_accum exists for (512²): k>1
+    must reproduce the k=1 step exactly (no reparam noise, ADA not used in
+    the VQGAN G path; perplexity is documented as a mean-of-microbatch
+    metric and excluded from the strict check)."""
+    from uig.config import get_preset
+    from uig.runtime import make_mesh, shard_batch
+    from uig.train.vqgan_trainer import VQGANTrainer
+
+    def cfg(k):
+        c = get_preset("vqgan512")
+        return dataclasses.replace(
+            c,
+            model=dataclasses.replace(
+                c.model, image_size=16, vq_channel_mults=(1, 2),
+                vq_base_features=8, vq_embed_dim=8, vq_codebook_size=16,
+                vq_attn_resolutions=(8,), attn_impl="xla", d_layers=2,
+                compute_dtype="float32", remat="none"),
+            data=dataclasses.replace(c.data, batch_size=2, load_size=16),
+            opt=dataclasses.replace(c.opt, optimizer="sgd", grad_accum=k),
+            loss=dataclasses.replace(c.loss, vq_disc_start=0,
+                                     vq_adaptive_weight=False),
+        )
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    outs = {}
+    for k in (1, 2, 4):  # union batch is 2B=4 per device
+        mesh = make_mesh(1)
+        tr = VQGANTrainer(cfg(k), mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        for _ in range(2):
+            state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
+        outs[k] = (
+            {name: float(v) for name, v in m.items()},
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.g_params)),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.d_params)),
+        )
+    for k in (2, 4):
+        for name in outs[1][0]:
+            if name == "perplexity":
+                continue
+            np.testing.assert_allclose(outs[1][0][name], outs[k][0][name],
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"k={k}:{name}")
+        for i in (1, 2):
+            for x, y in zip(jax.tree_util.tree_leaves(outs[1][i]),
+                            jax.tree_util.tree_leaves(outs[k][i])):
+                np.testing.assert_allclose(x, y, atol=5e-5)
+
+
+def test_vqgan_grad_accum_rejects_adaptive_weight():
+    from uig.config import get_preset
+    from uig.runtime import make_mesh
+    from uig.train.vqgan_trainer import VQGANTrainer
+
+    c = get_preset("vqgan512")
+    c = dataclasses.replace(
+        c,
+        model=dataclasses.replace(c.model, image_size=16,
+                                  vq_channel_mults=(1, 2),
+                                  vq_base_features=8, vq_embed_dim=8,
+                                  vq_codebook_size=16,
+                                  vq_attn_resolutions=(8,), attn_impl="xla"),
+        data=dataclasses.replace(c.data, batch_size=2, load_size=16),
+        opt=dataclasses.replace(c.opt, grad_accum=2),
+        loss=dataclasses.replace(c.loss, vq_adaptive_weight=True),
+    )
+    with pytest.raises(ValueError, match="vq_adaptive_weight"):
+        VQGANTrainer(c, make_mesh(1))
+
+
 def test_grad_accum_validation():
     from uig.runtime import make_mesh
     from uig.train.cut import CUTTrainer
