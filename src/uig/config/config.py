@@ -22,8 +22,8 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | unit | munit | stargan | starganv2 | ugatit |
-    # nicegan | vqgan | vaegan | vqgan_prior
+    # cyclegan | cut | dclgan | unit | munit | stargan | starganv2 |
+    # ugatit | nicegan | vqgan | vaegan | vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
     in_channels: int = 3

@@ -135,6 +135,27 @@ def _fastcut256() -> Config:
     )
 
 
+def _dclgan256() -> Config:
+    # DCLGAN (Han et al. 2021): dual-generator contrastive translation —
+    # CycleGAN's two-generator topology but NO cycle loss; each direction
+    # is constrained by PatchNCE with the paper's dual cross-embedding
+    # (keys through the direction's own encoder+heads, queries through the
+    # OTHER generator's). Published weights: λ_GAN=1, λ_NCE=2, L1 identity
+    # (lambda_identity is the ABSOLUTE idt weight here — no cycle term to
+    # scale by); built on the CUT codebase defaults (Adam 2e-4 β1 0.5,
+    # 256 patches, τ=0.07).
+    return Config(
+        model=ModelConfig(kind="dclgan", image_size=256, n_res_blocks=9,
+                          head_s2d=4),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=0.0,
+                        lambda_identity=1.0, lambda_nce=2.0),
+        opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=16, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="dclgan256"),
+    )
+
+
 def _discogan64() -> Config:
     # DiscoGAN (Kim et al. 2017) is architecturally the CycleGAN topology
     # with the original (vanilla/BCE) GAN loss and NO identity term — it
@@ -317,6 +338,7 @@ PRESETS = {
     "cyclegan256_dp": _cyclegan256_dp,
     "cut256_multihost": _cut256_multihost,
     "fastcut256": _fastcut256,
+    "dclgan256": _dclgan256,
     "unit256": _unit256,
     "munit256": _munit256,
     "stargan128": _stargan128,

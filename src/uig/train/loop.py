@@ -41,6 +41,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.cut import CUTTrainer
 
         return CUTTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "dclgan":
+        from uig.train.dclgan_trainer import DCLGANTrainer
+
+        return DCLGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "unit":
         from uig.train.unit_trainer import UNITTrainer
 
