@@ -29,6 +29,7 @@ RUNGS = {
         "parallel.multihost=False", "model.resample=antialias",
         "model.nce_layers=(0,6,10,15)"], 16),
     "fastcut256": ("fastcut256", [], 16),
+    "dclgan256": ("dclgan256", [], 16),
     "unit256": ("unit256", [], 16),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3
@@ -39,6 +40,20 @@ RUNGS = {
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),
+    # grad-accum-vs-remat A/B at the memory-bound rung: both memory levers
+    # fit 512² B=8; remat pays recompute FLOPs, grad_accum pays microbatch
+    # (B=2) execution efficiency. Adaptive weight off in BOTH arms (accum
+    # cannot run it — see VQGANTrainer validation), so the pair is fair.
+    "vqgan512_remat": ("vqgan512", ["model.remat=blocks",
+                                    "loss.vq_adaptive_weight=false"], 8),
+    # k=8 -> microbatch 2 over the 2B=16 union batch (microbatch 4 OOMs at
+    # remat=none: fp32 GroupNorm temps are 520 MB each at 512² batch 4)
+    "vqgan512_accum": ("vqgan512", ["model.remat=none", "opt.grad_accum=8",
+                                    "loss.vq_adaptive_weight=false"], 8),
+    # and the composition of both levers at microbatch 4
+    "vqgan512_accum_remat": ("vqgan512", ["model.remat=blocks",
+                                          "opt.grad_accum=4",
+                                          "loss.vq_adaptive_weight=false"], 8),
 }
 
 

@@ -213,7 +213,12 @@ class VQGANTrainer:
             # term by ||grad_last(L_nll)|| / ||grad_last(L_adv)||, grads
             # taken at the decoder's final conv kernel. Closing over the
             # rest of the params keeps the backward confined to the last
-            # layer; XLA CSEs the repeated forward with the main loss pass.
+            # layer. ONE jax.vjp yields both gradients from ONE shared
+            # forward (two cheap cotangent pulls) — the earlier two-closure
+            # form (separate jax.grad each) was measured NOT to CSE with
+            # itself or the main loss pass on this backend: the shipped
+            # 512² step carried 106.4 TF vs 73.8 with adaptive off, i.e.
+            # ~an extra full forward per closure (BASELINE.md round 3).
             path = self._last_kernel_path
 
             def _with_last(p, k):
@@ -226,17 +231,16 @@ class VQGANTrainer:
                     return node
                 return sub(p, list(path))
 
-            def _nll_of(k):
-                _, _, rec, lpips, _ = _nll_and_adv(
+            def _nll_and_adv_of(k):
+                _, _, rec, lpips, adv = _nll_and_adv(
                     _with_last(state.g_params, k), x)
-                return rec + lpips
-
-            def _adv_of(k):
-                return _nll_and_adv(_with_last(state.g_params, k), x)[4]
+                return rec + lpips, adv
 
             last_k = self._get_last_kernel(state.g_params)
-            g_nll = jax.grad(_nll_of)(last_k)
-            g_adv = jax.grad(_adv_of)(last_k)
+            (_, _), vjp_fn = jax.vjp(_nll_and_adv_of, last_k)
+            one, zero = jnp.float32(1.0), jnp.float32(0.0)
+            g_nll, = vjp_fn((one, zero))
+            g_adv, = vjp_fn((zero, one))
             lam_adapt = jnp.linalg.norm(g_nll.astype(jnp.float32).ravel()) / (
                 jnp.linalg.norm(g_adv.astype(jnp.float32).ravel()) + 1e-4)
             lam_adapt = jax.lax.stop_gradient(

@@ -56,7 +56,7 @@ def test_microbatch_indivisible_batch_raises():
         microbatch_value_and_grad(loss_fn, w, x, 4)
 
 
-def _cfg(grad_accum, ada_p=0.0):
+def _cfg(grad_accum, ada_p=0.0, fused=False):
     from uig.config import get_preset
 
     c = get_preset("smoke64")
@@ -66,7 +66,8 @@ def _cfg(grad_accum, ada_p=0.0):
         # near-zero grads to ~lr scale (same choice as the remat and
         # fused_applies equivalence tests)
         model=dataclasses.replace(c.model, image_size=16, n_res_blocks=1,
-                                  d_layers=2, compute_dtype="float32"),
+                                  d_layers=2, compute_dtype="float32",
+                                  fused_applies=fused),
         data=dataclasses.replace(c.data, batch_size=4, load_size=16),
         opt=dataclasses.replace(c.opt, optimizer="sgd",
                                 grad_accum=grad_accum),
@@ -74,7 +75,8 @@ def _cfg(grad_accum, ada_p=0.0):
     )
 
 
-def test_cyclegan_grad_accum_matches_single_step():
+@pytest.mark.parametrize("fused", [False, True])
+def test_cyclegan_grad_accum_matches_single_step(fused):
     from uig.runtime import make_mesh, shard_batch
     from uig.train.cyclegan import CycleGANTrainer
 
@@ -84,7 +86,7 @@ def test_cyclegan_grad_accum_matches_single_step():
     outs = {}
     for k in (1, 2, 4):
         mesh = make_mesh(1)
-        tr = CycleGANTrainer(_cfg(k), mesh)
+        tr = CycleGANTrainer(_cfg(k, fused=fused), mesh)
         state = tr.init_state(jax.random.PRNGKey(0))
         for _ in range(2):
             state, m = tr.train_step(state, shard_batch(mesh, (a, b)))
