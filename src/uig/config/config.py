@@ -110,6 +110,15 @@ class ModelConfig:
     prior_dim: int = 512
     prior_depth: int = 8
     prior_heads: int = 8
+    # "ar" = decoder-only autoregressive transformer (canonical VQGAN
+    # stage 2); "maskgit" = bidirectional masked-token prior with parallel
+    # iterative decoding (MaskGIT, Chang et al. 2022) — same trainer,
+    # different training objective + sampler (models/prior.py)
+    prior_style: str = "ar"
+    # maskgit sampling: decoding rounds and the annealed-Gumbel choice
+    # temperature from the published recipe
+    prior_sample_steps: int = 12
+    prior_choice_temp: float = 4.5
     # finished stage-1 vqgan run dir whose frozen EMA params the prior
     # trains against (required for kind="vqgan_prior" outside tests)
     prior_vqgan_run: str = ""

@@ -2,10 +2,14 @@
 VERDICT round-2 item 7).
 
 Stage-2 of the canonical VQGAN recipe: with the stage-1 autoencoder FROZEN,
-train an autoregressive transformer (models/prior.py) on the code sequences
-the frozen encoder assigns to real images; sampling then draws codes from
-the prior and decodes them — true latent-space unpaired generation, vs the
-uniform-random codes `uig sample` previously fell back to.
+train a prior (models/prior.py) on the code sequences the frozen encoder
+assigns to real images; sampling then draws codes from the prior and
+decodes them — true latent-space unpaired generation, vs the uniform-random
+codes `uig sample` previously fell back to. Two styles share this trainer
+(``model.prior_style``): "ar" — the canonical decoder-only autoregressive
+transformer — and "maskgit" — the bidirectional masked-token prior with
+parallel iterative decoding (Chang et al. 2022), whose sampler needs
+``prior_sample_steps`` full-grid forwards instead of L sequential ones.
 
 TPU structure mirrors the other trainers: ONE jitted shard_map program per
 step (frozen-encoder forward → teacher-forced prior forward/backward →
@@ -25,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uig.config import Config
 from uig.kernels.augment import augment
-from uig.models.prior import CodePrior, sample_codes
+from uig.models.prior import (CodePrior, MaskedPrior, random_code_mask,
+                              sample_codes, sample_codes_maskgit)
 from uig.models.vqgan import VQGANGenerator
 from uig.runtime.prng import fold_step, split_named
 from uig.train.microbatch import validate_grad_accum
@@ -66,7 +71,13 @@ class PriorTrainer:
             attn_impl=m.attn_impl,
             dtype=dt,
         )
-        self.prior = CodePrior(
+        if m.prior_style not in ("ar", "maskgit"):
+            raise ValueError(
+                f"model.prior_style={m.prior_style!r}: expected 'ar' "
+                "(autoregressive) or 'maskgit' (masked parallel decoding)")
+        self.style = m.prior_style
+        prior_cls = CodePrior if self.style == "ar" else MaskedPrior
+        self.prior = prior_cls(
             vocab=m.vq_codebook_size,
             seq_len=self.grid_hw * self.grid_hw,
             dim=m.prior_dim, depth=m.prior_depth, heads=m.prior_heads,
@@ -137,7 +148,7 @@ class PriorTrainer:
         dt = jnp.dtype(cfg.model.compute_dtype)
         step_key = fold_step(state.rng, state.step)
         step_key = jax.random.fold_in(step_key, jax.lax.axis_index(self.axis))
-        keys = split_named(step_key, ("aug_a", "aug_b"))
+        keys = split_named(step_key, ("aug_a", "aug_b", "mask"))
 
         crop = cfg.model.image_size
         if real_a.dtype == jnp.uint8:
@@ -155,12 +166,29 @@ class PriorTrainer:
         codes = jax.lax.stop_gradient(
             vq.codes.reshape(x.shape[0], -1))  # (2B, L)
 
-        def loss_fn(params):
-            logits = self.prior.apply(params, codes)  # (2B, L, K) fp32
-            nll = optax.softmax_cross_entropy_with_integer_labels(
-                logits, codes).mean()
-            acc = jnp.mean(jnp.argmax(logits, -1) == codes)
-            return nll, acc
+        if self.style == "ar":
+            def loss_fn(params):
+                logits = self.prior.apply(params, codes)  # (2B, L, K) fp32
+                nll = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, codes).mean()
+                acc = jnp.mean(jnp.argmax(logits, -1) == codes)
+                return nll, acc
+        else:
+            # MaskGIT objective: corrupt with the cosine-schedule mask and
+            # score cross-entropy at the MASKED positions only
+            mask = random_code_mask(keys["mask"], codes.shape[0],
+                                    self.prior.seq_len)
+            inputs = jnp.where(mask, self.prior.vocab, codes)
+
+            def loss_fn(params):
+                logits = self.prior.apply(params, inputs)  # (2B, L, K) fp32
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, codes)
+                denom = jnp.maximum(mask.sum(), 1)
+                nll = jnp.where(mask, ce, 0.0).sum() / denom
+                hit = (jnp.argmax(logits, -1) == codes) & mask
+                acc = hit.sum() / denom
+                return nll, acc
 
         (nll, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -199,8 +227,18 @@ class PriorTrainer:
 
     # ------------------------------------------------------------------
     def _sample_impl(self, params, rng, n, temperature=1.0, top_k=0):
-        codes = sample_codes(self.prior, params, rng, n, self.grid_hw,
-                             temperature=temperature, top_k=top_k)
+        if self.style == "ar":
+            codes = sample_codes(self.prior, params, rng, n, self.grid_hw,
+                                 temperature=temperature, top_k=top_k)
+        else:
+            if top_k:
+                raise ValueError("top_k applies to the AR prior only; the "
+                                 "maskgit sampler uses prior_choice_temp")
+            m = self.cfg.model
+            codes = sample_codes_maskgit(
+                self.prior, params, rng, n, self.grid_hw,
+                steps=m.prior_sample_steps, temperature=temperature,
+                choice_temp=m.prior_choice_temp)
         imgs = self.vqgan.apply(self.vqgan_params, codes,
                                 method=VQGANGenerator.decode_codes)
         return imgs.astype(jnp.float32)

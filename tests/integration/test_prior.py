@@ -181,3 +181,171 @@ def test_prior_requires_vqgan_run(mesh8):
     cfg = apply_overrides(get_preset("smoke64"), ["model.kind=vqgan_prior"])
     with pytest.raises(ValueError, match="prior_vqgan_run"):
         PriorTrainer(cfg, mesh8)
+
+
+# ---------------------------------------------------------------------------
+# Masked (MaskGIT-style) prior
+# ---------------------------------------------------------------------------
+
+
+def _tiny_masked(vocab=32, seq_len=16):
+    from uig.models.prior import MaskedPrior
+
+    return MaskedPrior(vocab=vocab, seq_len=seq_len, dim=32, depth=2,
+                       heads=4)
+
+
+def test_masked_prior_is_bidirectional():
+    """Unlike the AR prior, every logit may depend on every position."""
+    m = _tiny_masked()
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 32)
+    params = m.init(jax.random.PRNGKey(1), toks)
+    base = np.asarray(m.apply(params, toks))
+    assert base.shape == (2, 16, 32)
+    altered = toks.at[:, 10].set((toks[:, 10] + 7) % 32)
+    out = np.asarray(m.apply(params, altered))
+    # position 0's logits change when position 10 changes
+    assert not np.allclose(base[:, 0], out[:, 0])
+
+
+def test_random_code_mask_properties():
+    from uig.models.prior import mask_schedule, random_code_mask
+
+    mask = np.asarray(random_code_mask(jax.random.PRNGKey(0), 64, 32))
+    counts = mask.sum(axis=1)
+    assert counts.min() >= 1 and counts.max() <= 32
+    # spread across the schedule, not a constant corruption rate
+    assert len(np.unique(counts)) > 3
+    # expected mask fraction under gamma(u)=cos(pi/2 u), u~U(0,1) is 2/pi
+    assert abs(counts.mean() / 32 - 2 / np.pi) < 0.12
+    # schedule endpoints
+    assert float(mask_schedule(jnp.float32(0))) == pytest.approx(1.0)
+    assert float(mask_schedule(jnp.float32(1))) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_sample_codes_maskgit_valid_and_deterministic():
+    from uig.models.prior import sample_codes_maskgit
+
+    m = _tiny_masked()
+    params = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 16), jnp.int32))
+    fn = jax.jit(lambda p, r: sample_codes_maskgit(m, p, r, 4, 4, steps=4))
+    codes = np.asarray(fn(params, jax.random.PRNGKey(3)))
+    assert codes.shape == (4, 4, 4)
+    # every position resolved to a REAL codebook entry (no MASK id left)
+    assert codes.min() >= 0 and codes.max() < 32
+    again = np.asarray(fn(params, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(codes, again)
+    other = np.asarray(fn(params, jax.random.PRNGKey(4)))
+    assert not np.array_equal(codes, other)
+
+
+def test_maskgit_memorizes_constant_grid():
+    """End-to-end objective+sampler check: trained on ONE fixed grid, the
+    masked prior must reproduce it from all-MASK."""
+    import optax as ox
+
+    from uig.models.prior import random_code_mask, sample_codes_maskgit
+
+    m = _tiny_masked(vocab=16, seq_len=16)
+    target = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, 16)
+    codes = jnp.tile(target, (8, 1))
+    params = m.init(jax.random.PRNGKey(6), codes)
+    tx = ox.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        mask = random_code_mask(key, codes.shape[0], 16)
+        inputs = jnp.where(mask, m.vocab, codes)
+
+        def loss_fn(p):
+            ce = ox.softmax_cross_entropy_with_integer_labels(
+                m.apply(p, inputs), codes)
+            return jnp.where(mask, ce, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return ox.apply_updates(params, up), opt, loss
+
+    key = jax.random.PRNGKey(7)
+    for i in range(150):
+        key, k = jax.random.split(key)
+        params, opt, loss = step(params, opt, k)
+    assert float(loss) < 0.5, float(loss)
+
+    sampled = np.asarray(sample_codes_maskgit(
+        m, params, jax.random.PRNGKey(8), 2, 4, steps=4, choice_temp=0.0))
+    want = np.asarray(target).reshape(4, 4)
+    match = (sampled == want[None]).mean()
+    assert match > 0.9, (match, sampled, want)
+
+
+@pytest.fixture(scope="module")
+def maskgit_setup(mesh8):
+    """Tiny frozen VQGAN + maskgit-style PriorTrainer on the 8-device mesh."""
+    from uig.config import apply_overrides, get_preset
+    from uig.models.vqgan import VQGANGenerator
+    from uig.train.prior_trainer import PriorTrainer
+
+    cfg = get_preset("smoke64")
+    cfg = apply_overrides(cfg, [
+        "model.kind=vqgan_prior",
+        "model.prior_style=maskgit",
+        "model.image_size=16",
+        "model.vq_channel_mults=(1,2)",
+        "model.vq_base_features=16",
+        "model.vq_embed_dim=16",
+        "model.vq_codebook_size=64",
+        "model.vq_attn_resolutions=(8,)",
+        "model.attn_impl=xla",
+        "model.prior_dim=64",
+        "model.prior_depth=2",
+        "model.prior_heads=4",
+        "model.prior_sample_steps=4",
+        "model.compute_dtype=float32",
+        "data.batch_size=8",
+        "data.load_size=20",
+        "data.synthetic_len=16",
+    ])
+    vq = VQGANGenerator(
+        base_features=16, channel_mults=(1, 2), embed_dim=16,
+        codebook_size=64, attn_resolutions=(8,), attn_impl="xla")
+    vq_params = vq.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3), jnp.float32))
+    trainer = PriorTrainer(cfg, mesh8, vqgan_params=vq_params)
+    return cfg, trainer
+
+
+def test_maskgit_trainer_trains_and_samples(maskgit_setup, mesh8):
+    from uig.data import make_input_pipeline
+
+    cfg, trainer = maskgit_setup
+    assert trainer.style == "maskgit"
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    pipe = make_input_pipeline(cfg, mesh8, start=False)
+    first = None
+    for i in range(12):
+        state, m = trainer.train_step(state, next(pipe))
+        if first is None:
+            first = float(m["nll"])
+    last = float(m["nll"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+    imgs = trainer.sample(state, jax.random.PRNGKey(1), 2)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert np.isfinite(imgs).all()
+
+    with pytest.raises(ValueError, match="top_k"):
+        trainer.sample(state, jax.random.PRNGKey(1), 2, top_k=8)
+
+
+def test_prior_style_validated(mesh8):
+    from uig.config import apply_overrides, get_preset
+    from uig.train.prior_trainer import PriorTrainer
+
+    cfg = apply_overrides(get_preset("smoke64"), [
+        "model.kind=vqgan_prior", "model.prior_style=diffusion"])
+    with pytest.raises(ValueError, match="prior_style"):
+        PriorTrainer(cfg, mesh8, vqgan_params={})
