@@ -30,6 +30,7 @@ RUNGS = {
         "model.nce_layers=(0,6,10,15)"], 16),
     "fastcut256": ("fastcut256", [], 16),
     "dclgan256": ("dclgan256", [], 16),
+    "gcgan256": ("gcgan256", [], 16),
     "unit256": ("unit256", [], 16),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3

@@ -22,7 +22,7 @@ from typing import Any
 class ModelConfig:
     """Generator/discriminator architecture knobs."""
 
-    # cyclegan | cut | dclgan | unit | munit | stargan | starganv2 |
+    # cyclegan | cut | dclgan | gcgan | unit | munit | stargan | starganv2 |
     # ugatit | nicegan | vqgan | vaegan | vqgan_prior
     kind: str = "cyclegan"
     image_size: int = 256  # output (crop) resolution, square
@@ -165,6 +165,12 @@ class ModelConfig:
     nce_layers: tuple[int, ...] = (0, 4, 8, 12, 16)
     nce_patches: int = 256
     nce_proj_dim: int = 256
+    # GcGAN (train/gcgan_trainer.py): the fixed geometric transform f the
+    # translator must commute with (G(f(x)) == f(G(x))). The paper's two
+    # instantiations: 90° rotation or vertical flip — horizontal flip is
+    # deliberately NOT offered (it is an augmentation symmetry of most
+    # domains, so commuting with it would be vacuous).
+    gc_transform: str = "rot90"  # rot90 | vflip
 
 
 @dataclass(frozen=True)
@@ -217,6 +223,11 @@ class LossConfig:
     # U-GAT-IT CAM weight: BCE on the generators' attention-classifier
     # logits (source domain -> 1, identity pass -> 0); published 1000.
     lambda_cam: float = 1000.0
+    # GcGAN: weight of the summed two-direction geometry-consistency L1
+    # (f(G(x)) vs G(f(x)) and f⁻¹(G(f(x))) vs G(x)). Plays the structural
+    # role the cycle term plays elsewhere (the content-preserving
+    # constraint), hence the same weight class as lambda_cycle.
+    lambda_gc: float = 10.0
     # NICE-GAN: weight of the own-encoding reconstruction term
     # Dec_src(E_src(x)) ≈ x (the paper's identity analogue; published 10;
     # cycle reuses lambda_cycle, same published value).

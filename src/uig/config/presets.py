@@ -156,6 +156,27 @@ def _dclgan256() -> Config:
     )
 
 
+def _gcgan256() -> Config:
+    # GcGAN (Fu et al. 2019): one-sided geometry-consistent translation —
+    # ONE generator, TWO discriminators (the plain stream and the
+    # f-transformed stream), content held by requiring G to commute with a
+    # fixed geometric transform f (rot90 here; model.gc_transform=vflip is
+    # the paper's other instantiation). No cycle, no contrastive term.
+    # CycleGAN-family optimizer defaults (Adam 2e-4 β1 0.5, LSGAN, linear
+    # decay); lambda_identity is the ABSOLUTE idt weight (off by default —
+    # the gc term alone holds content in the paper's main configuration).
+    return Config(
+        model=ModelConfig(kind="gcgan", image_size=256, n_res_blocks=9,
+                          gc_transform="rot90", head_s2d=4),
+        loss=LossConfig(gan_mode="lsgan", lambda_cycle=0.0,
+                        lambda_identity=0.0, lambda_gc=10.0),
+        opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
+        data=DataConfig(load_size=286, batch_size=16, augment="pallas"),
+        parallel=ParallelConfig(num_devices=0),
+        run=RunConfig(name="gcgan256"),
+    )
+
+
 def _discogan64() -> Config:
     # DiscoGAN (Kim et al. 2017) is architecturally the CycleGAN topology
     # with the original (vanilla/BCE) GAN loss and NO identity term — it
@@ -339,6 +360,7 @@ PRESETS = {
     "cut256_multihost": _cut256_multihost,
     "fastcut256": _fastcut256,
     "dclgan256": _dclgan256,
+    "gcgan256": _gcgan256,
     "unit256": _unit256,
     "munit256": _munit256,
     "stargan128": _stargan128,

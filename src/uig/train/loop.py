@@ -45,6 +45,10 @@ def build_trainer(cfg: Config, mesh):
         from uig.train.dclgan_trainer import DCLGANTrainer
 
         return DCLGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
+    if kind == "gcgan":
+        from uig.train.gcgan_trainer import GcGANTrainer
+
+        return GcGANTrainer(cfg, mesh, perceptual_fn=perceptual_fn)
     if kind == "unit":
         from uig.train.unit_trainer import UNITTrainer
 
