@@ -11,6 +11,11 @@ test:
 test-fast:
 	$(PYCPU) -m pytest tests/unit -x -q
 
+# fast tier: every family's one-step/short-train path + DP equivalence
+# (target ≤5 min with a warm .xla_cache; see pyproject markers)
+smoke:
+	$(PYCPU) -m pytest tests/ -m smoke -x -q
+
 bench:
 	$(PY) bench.py
 
@@ -29,4 +34,4 @@ native:
 regen-goldens:
 	UIG_REGEN_GOLDENS=1 $(PY) -m pytest tests/integration/test_golden.py -q
 
-.PHONY: test test-fast bench kernel-parity perf-sweep stall-bench native regen-goldens
+.PHONY: test test-fast smoke bench kernel-parity perf-sweep stall-bench native regen-goldens

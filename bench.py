@@ -103,6 +103,30 @@ def _real_pipeline_bench(cfg, global_batch, steps, synth_rate, n_chips):
     }
 
 
+def _all_rungs_bench(budget_s: float):
+    """Compact per-rung array for the driver artifact (VERDICT round-3 item
+    8): one row per model family so a regression in ANY family surfaces in
+    BENCH_r{N}.json, not just CycleGAN.  Budget-bounded: rungs that don't
+    fit are recorded as skipped rather than risking the whole bench."""
+    import time as _time
+
+    from uig.metrics.perf_rungs import BENCH_FAMILIES, measure_rung
+
+    t_end = _time.perf_counter() + budget_s
+    rows = []
+    for name in BENCH_FAMILIES:
+        # need headroom for a cold compile; skip loudly rather than hang
+        if _time.perf_counter() > t_end - 45:
+            rows.append({"rung": name, "skipped": "budget"})
+            continue
+        try:
+            rows.append(measure_rung(name, steps=8, repeats=2))
+        except Exception as e:  # record, keep going
+            rows.append({"rung": name,
+                         "error": f"{type(e).__name__}: {e}"[:160]})
+    return rows
+
+
 def main():
     import jax
     import numpy as np
@@ -110,6 +134,18 @@ def main():
     from uig.config import apply_overrides, get_preset
     from uig.runtime import make_mesh, shard_batch
     from uig.train.cyclegan import CycleGANTrainer
+
+    # persistent compilation cache: re-runs (and the driver's run after a
+    # same-session pre-warm) skip backend compilation
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".xla_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
     image_size = int(os.environ.get("UIG_BENCH_SIZE", "256"))
     steps = int(os.environ.get("UIG_BENCH_STEPS", "20"))
@@ -192,6 +228,9 @@ def main():
             if os.environ.get("UIG_BENCH_REAL"):
                 out.update(_real_pipeline_bench(
                     cfg, batch * n_chips, steps, img_per_sec_chip, n_chips))
+            if os.environ.get("UIG_BENCH_RUNGS", "1") != "0":
+                out["rungs"] = _all_rungs_bench(
+                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "900")))
             print(json.dumps(out))
             return
         except Exception as e:  # try a smaller batch (OOM etc.)

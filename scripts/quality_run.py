@@ -12,12 +12,9 @@ Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run.py [variants]
 Outputs FID trajectory summaries; full metrics land in the run workdirs.
 """
 
-import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import collect_fids, read_metrics, run_cli_train
 
 VARIANTS = {
     "base": [],
@@ -47,21 +44,9 @@ COMMON = [
 
 
 def run_variant(name: str, overrides):
-    from uig.cli.main import main
-
-    workdir = f"/tmp/uig_quality_r2/{name}"
-    args = ["train", "--preset", "smoke64"]
-    for o in COMMON + overrides + [f"run.workdir=/tmp/uig_quality_r2",
-                                   f"run.name={name}"]:
-        args += ["--set", o]
-    rc = main(args)
-    assert rc == 0
-    fids = []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
+    workdir, _ = run_cli_train("smoke64", "/tmp/uig_quality_r2", name,
+                               COMMON + overrides)
+    fids = collect_fids(read_metrics(workdir))
     if not fids:
         print(f"{name}: no FID records!")
         return

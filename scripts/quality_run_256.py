@@ -11,18 +11,13 @@ Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_256.py [steps]
 """
 
 import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import collect_fids, read_metrics, run_cli_train
 
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    from uig.cli.main import main as cli
-
-    workdir = "/tmp/uig_quality_256"
     overrides = [
         "data.source=synthetic", "data.synthetic_len=200",
         "data.batch_size=8", "data.augment=xla",
@@ -35,24 +30,13 @@ def main():
         "eval.fid_every=250", "eval.fid_num_samples=128",
         "eval.fid_batch_size=8",
         f"eval.sample_grid_every={steps // 2}",
-        f"run.workdir={workdir}", "run.name=dreg256",
     ]
-    args = ["train", "--preset", "cyclegan256_dp"]
-    for o in overrides:
-        args += ["--set", o]
-    rc = cli(args)
-    assert rc == 0
-
-    fids, dloss, rate = [], [], []
-    with open(os.path.join(workdir, "dreg256", "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
-            if "d_loss" in rec:
-                dloss.append((rec["step"], rec["d_loss"]))
-            if "images_per_sec" in rec:
-                rate.append(rec["images_per_sec"])
+    workdir, _ = run_cli_train("cyclegan256_dp", "/tmp/uig_quality_256",
+                               "dreg256", overrides)
+    records = read_metrics(workdir)
+    fids = collect_fids(records)
+    dloss = [(r["step"], r["d_loss"]) for r in records if "d_loss" in r]
+    rate = [r["images_per_sec"] for r in records if "images_per_sec" in r]
     best = min(fids, key=lambda t: t[1]) if fids else None
     print(json.dumps({
         "steps": steps,

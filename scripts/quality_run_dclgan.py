@@ -16,12 +16,9 @@ DCLGAN, through the EMA serving weights:
 Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_dclgan.py [steps]
 """
 
-import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import load_eval_batch, run_and_summarize
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -40,48 +37,18 @@ OVERRIDES = [
     "parallel.multihost=False",
 ]
 
-WORKROOT = "/tmp/uig_quality_dclgan"
-
 
 def main():
-    from uig.cli.main import main as cli
-
-    workdir = os.path.join(WORKROOT, "dclgan64")
-    args = ["train", "--preset", "dclgan256"]
-    for o in OVERRIDES + [f"run.workdir={WORKROOT}", "run.name=dclgan64"]:
-        args += ["--set", o]
-    rc = cli(args)
-    assert rc == 0
-    fids, losses = [], []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
-            if "nce_a" in rec:
-                losses.append((rec["step"], rec["nce_a"], rec["nce_b"],
-                               rec.get("g_adv", 0.0), rec.get("d_loss", 0.0)))
-    for s, na, nb, ga, d in losses[:: max(1, len(losses) // 8)]:
-        print(f"step {s:5d}  nce_a {na:6.3f}  nce_b {nb:6.3f}  "
-              f"g_adv {ga:6.3f}  d {d:6.3f}")
-    if fids:
-        best = min(fids, key=lambda t: t[1])
-        print(f"FID trajectory: first {fids[0][1]:.4f} @ {fids[0][0]} "
-              f"... best {best[1]:.4f} @ {best[0]} "
-              f"... final {fids[-1][1]:.4f} @ {fids[-1][0]}")
+    workdir, _, _, _ = run_and_summarize(
+        "dclgan256", "/tmp/uig_quality_dclgan", "dclgan64", OVERRIDES,
+        loss_keys=[("nce_a", "6.3f"), ("nce_b", "6.3f"),
+                   ("g_adv", "6.3f"), ("d_loss", "6.3f")])
 
     import jax
     import numpy as np
 
-    from uig.cli.translate import load_run
-    from uig.data import eval_datasets
-    from uig.kernels import center_crop_normalize
-
-    cfg, trainer, state = load_run(workdir)
+    cfg, trainer, state, x = load_eval_batch(workdir, n=8)
     ema = jax.device_get(state.ema)
-    ds_a, _ = eval_datasets(cfg)
-    raw = np.stack([ds_a[i] for i in range(8)])
-    x = center_crop_normalize(jax.numpy.asarray(raw), cfg.model.image_size)
 
     # content preservation without a cycle loss: the untrained cycle
     # reconstruction must sit far closer to its own input than to other

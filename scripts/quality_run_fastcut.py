@@ -7,13 +7,9 @@ wall-clock land here so the trade is measured, not asserted.
 Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_fastcut.py [steps]
 """
 
-import json
-import os
 import sys
-import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import collect_fids, read_metrics, run_cli_train
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -39,22 +35,8 @@ WORKROOT = "/tmp/uig_quality_fastcut"
 
 
 def run_variant(name, preset, extra):
-    from uig.cli.main import main as cli
-
-    workdir = os.path.join(WORKROOT, name)
-    args = ["train", "--preset", preset]
-    for o in COMMON + extra + [f"run.workdir={WORKROOT}", f"run.name={name}"]:
-        args += ["--set", o]
-    t0 = time.perf_counter()
-    rc = cli(args)
-    wall = time.perf_counter() - t0
-    assert rc == 0
-    fids = []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
+    workdir, wall = run_cli_train(preset, WORKROOT, name, COMMON + extra)
+    fids = collect_fids(read_metrics(workdir))
     best = min(fids, key=lambda t: t[1]) if fids else (0, float("nan"))
     print(f"{name:<10s} wall {wall:7.1f}s  "
           f"FID first {fids[0][1]:.4f} @ {fids[0][0]} "

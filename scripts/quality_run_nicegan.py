@@ -15,12 +15,9 @@ NICE-GAN, through the EMA serving weights:
 Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_nicegan.py [steps]
 """
 
-import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import load_eval_batch, run_and_summarize
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -38,52 +35,22 @@ OVERRIDES = [
     "parallel.multihost=False",
 ]
 
-WORKROOT = "/tmp/uig_quality_nicegan"
-
 
 def main():
-    from uig.cli.main import main as cli
-
-    workdir = os.path.join(WORKROOT, "nicegan64")
-    args = ["train", "--preset", "nicegan256"]
-    for o in OVERRIDES + [f"run.workdir={WORKROOT}", "run.name=nicegan64"]:
-        args += ["--set", o]
-    rc = cli(args)
-    assert rc == 0
-    fids, losses = [], []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
-            if "g_rec" in rec:
-                losses.append((rec["step"], rec["g_rec"], rec["g_cycle"],
-                               rec.get("d_loss", 0.0)))
-    for s, gr, gc, d in losses[:: max(1, len(losses) // 8)]:
-        print(f"step {s:5d}  g_rec {gr:7.3f}  g_cyc {gc:7.3f}  d {d:7.3f}")
-    if fids:
-        best = min(fids, key=lambda t: t[1])
-        print(f"FID trajectory: first {fids[0][1]:.4f} @ {fids[0][0]} "
-              f"... best {best[1]:.4f} @ {best[0]} "
-              f"... final {fids[-1][1]:.4f} @ {fids[-1][0]}")
+    workdir, _, _, _ = run_and_summarize(
+        "nicegan256", "/tmp/uig_quality_nicegan", "nicegan64", OVERRIDES,
+        loss_keys=[("g_rec", "7.3f"), ("g_cycle", "7.3f"),
+                   ("d_loss", "7.3f")])
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from uig.cli.translate import load_run
-    from uig.data import eval_datasets
-    from uig.kernels import center_crop_normalize
-
-    cfg, trainer, state = load_run(workdir)
+    cfg, trainer, state, x = load_eval_batch(workdir, n=8)
     ema = jax.device_get(state.ema)
-    ds_a, _ = eval_datasets(cfg)
-    raw = np.stack([ds_a[i] for i in range(8)])
-    x = center_crop_normalize(jax.numpy.asarray(raw), cfg.model.image_size)
 
     # encoding usefulness: own-encoding decode reconstructs the input;
     # decoding a batch-shuffled encoding must be much worse
-    import jax.numpy as jnp
-
     z = trainer.eval_encoder.apply(
         {"params": ema["e"]["a"]["params"], "sn": ema["e_sn"]["a"]},
         x.astype(jnp.float32), False)

@@ -18,12 +18,10 @@ this measures the claims that make v2 v2:
 Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_starganv2.py [steps]
 """
 
-import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import (load_eval_batch, mean_pairwise_l1,
+                             run_and_summarize)
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -43,61 +41,33 @@ OVERRIDES = [
     "parallel.multihost=False",
 ]
 
-WORKROOT = "/tmp/uig_quality_starganv2"
-
 
 def main():
-    from uig.cli.main import main as cli
-
-    workdir = os.path.join(WORKROOT, "v2_64")
-    args = ["train", "--preset", "starganv2_256"]
-    for o in OVERRIDES + [f"run.workdir={WORKROOT}", "run.name=v2_64"]:
-        args += ["--set", o]
-    rc = cli(args)
-    assert rc == 0
-    fids, losses = [], []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
-            if "g_sty" in rec:
-                losses.append((rec["step"], rec["g_sty"], rec["g_ds"],
-                               rec["g_cyc"], rec.get("d_loss", 0.0)))
-    for s, gs, gd, gc, d in losses[:: max(1, len(losses) // 8)]:
-        print(f"step {s:5d}  g_sty {gs:7.3f}  g_ds {gd:6.3f}  "
-              f"g_cyc {gc:6.3f}  d {d:7.3f}")
-    if fids:
-        best = min(fids, key=lambda t: t[1])
-        print(f"FID trajectory: first {fids[0][1]:.4f} @ {fids[0][0]} "
-              f"... best {best[1]:.4f} @ {best[0]} "
-              f"... final {fids[-1][1]:.4f} @ {fids[-1][0]}")
+    workdir, _, _, _ = run_and_summarize(
+        "starganv2_256", "/tmp/uig_quality_starganv2", "v2_64", OVERRIDES,
+        loss_keys=[("g_sty", "7.3f"), ("g_ds", "6.3f"), ("g_cyc", "6.3f"),
+                   ("d_loss", "7.3f")])
 
     import jax
     import numpy as np
 
-    from uig.cli.translate import load_run
     from uig.data import multidomain_eval_datasets
     from uig.kernels import center_crop_normalize
 
-    cfg, trainer, state = load_run(workdir)
+    cfg, trainer, state, x = load_eval_batch(workdir, n=6, domain=0)
     ema = jax.device_get(state.ema)
-    domains = multidomain_eval_datasets(cfg)
-    raw = np.stack([domains[0][i] for i in range(6)])
-    x = center_crop_normalize(jax.numpy.asarray(raw), cfg.model.image_size)
     n = cfg.model.num_domains
 
     # latent multimodality: 4 seeds into domain 1
     seeds = [0, 1, 2, 3]
     outs = [np.asarray(trainer.translate(ema, x, 1, style_seed=s))
             for s in seeds]
-    div = [np.abs(outs[i] - outs[j]).mean()
-           for i in range(len(seeds)) for j in range(i + 1, len(seeds))]
     print(f"latent multimodality: mean pairwise L1 over {len(seeds)} seeds "
-          f"(-> domain 1) = {float(np.mean(div)):.4f} "
+          f"(-> domain 1) = {mean_pairwise_l1(outs):.4f} "
           f"(0 would mean the style is ignored)")
 
     # reference-guided: two refs steer differently; same ref deterministic
+    domains = multidomain_eval_datasets(cfg)
     ref_raw = np.stack([domains[1][i] for i in range(2)])
     xr = center_crop_normalize(jax.numpy.asarray(ref_raw),
                                cfg.model.image_size)
@@ -112,10 +82,8 @@ def main():
     # domain transfer at a fixed seed
     douts = [np.asarray(trainer.translate(ema, x, t, style_seed=0))
              for t in range(n)]
-    dd = [np.abs(douts[i] - douts[j]).mean()
-          for i in range(n) for j in range(i + 1, n)]
     print(f"domain transfer: mean pairwise L1 over {n} targets = "
-          f"{float(np.mean(dd)):.4f}")
+          f"{mean_pairwise_l1(douts):.4f}")
 
 
 if __name__ == "__main__":

@@ -13,12 +13,9 @@ the across-image heatmap variance, both through the EMA serving weights.
 Run: PYTHONPATH=src:$PYTHONPATH python -u scripts/quality_run_ugatit.py [steps]
 """
 
-import json
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", "src"))
+from quality_harness import run_and_summarize
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
@@ -39,35 +36,12 @@ OVERRIDES = [
     "parallel.multihost=False",
 ]
 
-WORKROOT = "/tmp/uig_quality_ugatit"
-
 
 def main():
-    from uig.cli.main import main as cli
-
-    workdir = os.path.join(WORKROOT, "ugatit64")
-    args = ["train", "--preset", "ugatit256"]
-    for o in OVERRIDES + [f"run.workdir={WORKROOT}", "run.name=ugatit64"]:
-        args += ["--set", o]
-    rc = cli(args)
-    assert rc == 0
-    fids, losses = [], []
-    with open(os.path.join(workdir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "fid" in rec:
-                fids.append((rec["step"], rec["fid"]))
-            if "g_cycle" in rec:
-                losses.append((rec["step"], rec["g_cycle"], rec["g_cam"],
-                               rec.get("d_loss", 0.0)))
-    for s, cyc, cam, d in losses[:: max(1, len(losses) // 8)]:
-        print(f"step {s:5d}  g_cycle {cyc:7.3f}  g_cam {cam:9.2f}  "
-              f"d {d:6.3f}")
-    if fids:
-        best = min(fids, key=lambda t: t[1])
-        print(f"FID trajectory: first {fids[0][1]:.4f} @ {fids[0][0]} "
-              f"... best {best[1]:.4f} @ {best[0]} "
-              f"... final {fids[-1][1]:.4f} @ {fids[-1][0]}")
+    workdir, _, _, _ = run_and_summarize(
+        "ugatit256", "/tmp/uig_quality_ugatit", "ugatit64", OVERRIDES,
+        loss_keys=[("g_cycle", "7.3f"), ("g_cam", "9.2f"),
+                   ("d_loss", "6.3f")])
 
     # the attention claim: a2b's CAM classifier fires on domain A (its
     # translation source) and not on domain B (its identity input)

@@ -253,7 +253,14 @@ class GcGANTrainer:
                 + L.gan_loss_g(D.apply(state.d_params["b_gc"],
                                        T(fake_b_gc, 1)),
                                loss_cfg.gan_mode))
-            # geometry consistency, both directions, fp32
+            # geometry consistency, both directions, fp32.  NOTE: because f
+            # is a pixel permutation, the two terms are mathematically
+            # identical (value AND gradient): mean|f(G(x)) - G(f(x))| ==
+            # mean|f_inv(G(f(x))) - G(x)|.  The sum therefore equals 2x a
+            # single direction — the EFFECTIVE weight is 2*lambda_gc.  This
+            # matches the GcGAN paper's written formulation; kept as the
+            # two-term sum for parity, but tuners of loss.lambda_gc should
+            # know about the implicit factor of 2.
             fb32, fbgc32 = (fake_b.astype(jnp.float32),
                             fake_b_gc.astype(jnp.float32))
             gc = (jnp.abs(f(fb32) - fbgc32).mean()

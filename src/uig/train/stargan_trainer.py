@@ -110,6 +110,12 @@ class StarGANTrainer:
         self._lr = lr_schedule(cfg.opt)
         validate_grad_accum(cfg, 'StarGANTrainer', supported=False)
         self.n_critic = max(1, cfg.opt.d_steps_per_g)
+        # FLOP-accounting probe only (scripts/perf_rungs.py): when set, the
+        # n_critic lax.cond is replaced by a static Python branch so each
+        # branch can be lowered/cost-analyzed SEPARATELY — XLA's static FLOP
+        # count otherwise sums both cond branches and overstates the average
+        # step by the 1/n_critic G-update fraction. Never set in training.
+        self.flops_force_g_turn = None
         self._ada = ada.ada_enabled(cfg.loss)
         self._ada_ops = ada.parse_ada_ops(cfg.loss.ada_ops) if self._ada else ()
         if cfg.loss.ada_target > 0 and cfg.loss.gan_mode == "wgan":
@@ -280,9 +286,14 @@ class StarGANTrainer:
             return (state.g_params, state.g_opt, state.ema, z, z, z, z, z)
 
         # canonical n_critic schedule; metrics g_* read 0 on skipped steps
-        g_turn = (state.step % self.n_critic) == (self.n_critic - 1)
-        (g_params, g_opt, ema, g_loss, g_adv, g_cls, g_rec,
-         g_active) = jax.lax.cond(g_turn, g_update, g_skip, None)
+        if self.flops_force_g_turn is None:
+            g_turn = (state.step % self.n_critic) == (self.n_critic - 1)
+            (g_params, g_opt, ema, g_loss, g_adv, g_cls, g_rec,
+             g_active) = jax.lax.cond(g_turn, g_update, g_skip, None)
+        else:  # static branch for per-branch FLOP accounting
+            (g_params, g_opt, ema, g_loss, g_adv, g_cls, g_rec,
+             g_active) = (g_update(None) if self.flops_force_g_turn
+                          else g_skip(None))
 
         # ADA controller: identical on every device (pmean'd heuristic)
         ada_p = state.ada_p

@@ -16,6 +16,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Shared persistent XLA compilation cache (same dir as dryrun_multichip):
+# structurally identical tiny programs recur across test files and runs;
+# warm re-runs skip backend compilation entirely (measured ~4x on the
+# dryrun's CycleGAN family on this 1-core host).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # quiet AOT-loader logs
 
 import pytest  # noqa: E402
 

@@ -27,6 +27,7 @@ def _cfg(batch=2):
     return cfg
 
 
+@pytest.mark.smoke
 def test_cut_steps_and_translate():
     mesh = make_mesh(2)
     tr = CUTTrainer(_cfg(2), mesh)

@@ -46,6 +46,7 @@ def _batch(mesh, rng, n=4):
     return shard_batch(mesh, (a, b))
 
 
+@pytest.mark.smoke
 def test_dclgan_trains_dp2_all_terms_live():
     mesh = make_mesh(2)
     tr = DCLGANTrainer(_cfg(), mesh)

@@ -11,6 +11,7 @@ import numpy as np
 from uig.config import get_preset
 from uig.runtime import make_mesh, shard_batch
 from uig.train.cyclegan import CycleGANTrainer
+import pytest
 
 
 def _cfg(batch):
@@ -28,6 +29,7 @@ def _cfg(batch):
     return cfg
 
 
+@pytest.mark.smoke
 def test_dp8_matches_single_device():
     rng = np.random.default_rng(0)
     # pre-augmented float batches so per-shard augment RNG is out of the picture

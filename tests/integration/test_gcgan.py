@@ -72,6 +72,7 @@ def _gc_metric(tr, ema, x):
     return float(np.abs(np.asarray(gc_apply(jnp.asarray(y), t)) - y_f).mean())
 
 
+@pytest.mark.smoke
 def test_gcgan_trains_dp2_all_terms_live():
     mesh = make_mesh(2)
     tr = GcGANTrainer(_cfg(lambda_identity=1.0), mesh)

@@ -10,6 +10,7 @@ import numpy as np
 from uig.config import get_preset
 from uig.runtime import make_mesh, shard_batch
 from uig.train.cyclegan import CycleGANTrainer
+import pytest
 
 
 def _cfg():
@@ -32,6 +33,7 @@ def _batch(mesh):
     return shard_batch(mesh, (a, b))
 
 
+@pytest.mark.smoke
 def test_cyclegan_losses_decrease_no_nans():
     mesh = make_mesh(1)
     tr = CycleGANTrainer(_cfg(), mesh)

@@ -110,6 +110,7 @@ def test_multi_scale_discriminator_and_losses():
     assert np.isfinite(float(r1))
 
 
+@pytest.mark.smoke
 def test_munit_trains_and_translates_multimodal():
     from uig.data.datasets import SyntheticUnpairedDataset
 

@@ -99,6 +99,7 @@ def prior_setup(mesh8):
     return cfg, trainer
 
 
+@pytest.mark.smoke
 def test_prior_trains_and_samples(prior_setup, mesh8):
     from uig.data import make_input_pipeline
 

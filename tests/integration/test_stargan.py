@@ -137,6 +137,7 @@ def test_multidomain_pipeline_interleaves_and_resumes():
         MultiDomainPipeline(doms, 5, mesh=None)
 
 
+@pytest.mark.smoke
 def test_stargan_trains_dp2_and_translates():
     from uig.data.datasets import SyntheticMultiDomainDataset
 

@@ -84,6 +84,7 @@ def _batch(mesh, rng, n=4):
     return shard_batch(mesh, raw)
 
 
+@pytest.mark.smoke
 def test_starganv2_trains_dp2_all_terms_live():
     mesh = make_mesh(2)
     cfg = _cfg(batch=4, ds_decay=20)

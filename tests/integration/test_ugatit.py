@@ -49,6 +49,7 @@ def _rhos(tree):
     return out
 
 
+@pytest.mark.smoke
 def test_train_step_runs_and_metrics_finite():
     from uig.train.ugatit_trainer import UGATITTrainer
 

@@ -19,6 +19,7 @@ from uig.config import apply_overrides, get_preset
 from uig.models.unit import UNITGenerator
 from uig.runtime import make_mesh, shard_batch
 from uig.train.unit_trainer import UNITTrainer
+import pytest
 
 
 def _cfg(batch=2):
@@ -85,6 +86,7 @@ def test_unit_shared_params_get_grads_from_both_domains():
     assert normb == 0
 
 
+@pytest.mark.smoke
 def test_unit_trains_and_translates():
     from uig.data.datasets import SyntheticUnpairedDataset
 

@@ -9,6 +9,7 @@ import numpy as np
 from uig.config import get_preset
 from uig.runtime import make_mesh, shard_batch
 from uig.train.vaegan_trainer import VAEGANTrainer
+import pytest
 
 
 def _cfg(batch=2):
@@ -27,6 +28,7 @@ def _cfg(batch=2):
     )
 
 
+@pytest.mark.smoke
 def test_vaegan_trains_and_samples():
     from uig.data.datasets import SyntheticUnpairedDataset
 

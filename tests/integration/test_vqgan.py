@@ -9,6 +9,7 @@ import numpy as np
 from uig.config import get_preset
 from uig.runtime import make_mesh, shard_batch
 from uig.train.vqgan_trainer import VQGANTrainer
+import pytest
 
 
 def _cfg(batch=2, disc_start=0):
@@ -47,6 +48,7 @@ def test_vqgan_quantizer_properties():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.smoke
 def test_vqgan_trains_and_reconstructs():
     from uig.data.datasets import SyntheticUnpairedDataset
 
