@@ -71,7 +71,9 @@ def _real_pipeline_bench(cfg, global_batch, steps, synth_rate, n_chips):
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(
             cfg.data, source="packed", dir_a=pa, dir_b=pb,
-            batch_size=global_batch, num_workers=2, prefetch=2))
+            batch_size=global_batch, num_workers=2,
+            prefetch=int(os.environ.get("UIG_BENCH_PREFETCH", "2")),
+            producer_threads=int(os.environ.get("UIG_BENCH_PRODUCERS", "1"))))
     mesh = make_mesh()
     trainer = CycleGANTrainer(cfg, mesh)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -120,7 +122,9 @@ def _all_rungs_bench(budget_s: float):
             rows.append({"rung": name, "skipped": "budget"})
             continue
         try:
-            rows.append(measure_rung(name, steps=8, repeats=2))
+            # 10x3 not 12x3: cheaper, and median-of-best still stable; the
+            # 8x2 first cut read cyclegan128 37% slow vs a solo 12x3 run
+            rows.append(measure_rung(name, steps=10, repeats=3))
         except Exception as e:  # record, keep going
             rows.append({"rung": name,
                          "error": f"{type(e).__name__}: {e}"[:160]})

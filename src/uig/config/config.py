@@ -304,6 +304,10 @@ class DataConfig:
     shuffle_seed: int = 0
     num_workers: int = 4
     prefetch: int = 2
+    # producer threads building+device_put'ing whole batches concurrently
+    # (>1 overlaps host->device transfers; batches stay ordered via a
+    # reorder buffer, and the one-integer iterator checkpoint is unchanged)
+    producer_threads: int = 1
     augment: str = "pallas"  # pallas | xla | none (none = center crop)
     synthetic_len: int = 200  # images per domain for the synthetic set
 

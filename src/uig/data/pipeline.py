@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
 
 import numpy as np
 
@@ -76,6 +77,7 @@ class UnpairedPipeline:
         prefetch: int = 2,
         host_index: int = 0,
         host_count: int = 1,
+        producer_threads: int = 1,
     ):
         self.a = dataset_a
         self.b = dataset_b
@@ -92,11 +94,18 @@ class UnpairedPipeline:
         self.stream_a, self.stream_b = self.streams
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
-        self._t_next = 0  # next batch counter the producer will build
+        # >1 producers overlap decode + host->device transfers (the
+        # device_put releases the GIL during the copy/tunnel transfer);
+        # batch t is claimed atomically from the shared counter, and the
+        # consumer reorders via _reorder so delivery order is unchanged
+        self.producer_threads = max(1, producer_threads)
+        self._t_next = 0  # next batch counter a producer will claim
+        self._t_lock = threading.Lock()
         self._t_consumed = 0  # batches handed to the trainer
         self._q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        self._reorder: dict[int, object] = {}
         self._stop = threading.Event()
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
         self._error: Exception | None = None
         self._pool = None
         self._sharding = None
@@ -147,12 +156,13 @@ class UnpairedPipeline:
     def _producer(self) -> None:
         try:
             while not self._stop.is_set():
-                t = self._t_next
+                with self._t_lock:  # claim the next batch counter
+                    t = self._t_next
+                    self._t_next = t + 1
                 dev = self._put_device(self._load_batch(t))
                 while not self._stop.is_set():
                     try:
                         self._q.put((t, dev), timeout=0.1)
-                        self._t_next = t + 1
                         break
                     except queue.Full:
                         continue
@@ -164,51 +174,67 @@ class UnpairedPipeline:
                 pass
 
     def start(self) -> "UnpairedPipeline":
-        if self._thread is None:
+        if not self._threads:
             self._stop.clear()
-            self._thread = threading.Thread(target=self._producer, daemon=True)
-            self._thread.start()
+            self._threads = [
+                threading.Thread(target=self._producer, daemon=True)
+                for _ in range(self.producer_threads)
+            ]
+            for th in self._threads:
+                th.start()
         return self
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            try:
-                while True:
-                    self._q.get_nowait()
-            except queue.Empty:
-                pass
-            self._thread.join(timeout=10)
-            self._thread = None
+        if self._threads:
+            # drain so producers blocked on a full queue can observe _stop
+            deadline = 10.0
+            for th in self._threads:
+                t0 = _time.monotonic()
+                while th.is_alive():
+                    try:
+                        while True:
+                            self._q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    th.join(timeout=0.1)
+                    if _time.monotonic() - t0 > deadline:
+                        break
+            self._threads = []
+        self._reorder.clear()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self._thread is None:
+        if not self._threads:
             pair = self._put_device(self._load_batch(self._t_consumed))
             self._t_consumed += 1
             return pair
         while True:
             if self._error is not None:
                 raise RuntimeError("input pipeline producer died") from self._error
+            if self._t_consumed in self._reorder:
+                dev = self._reorder.pop(self._t_consumed)
+                self._t_consumed += 1
+                return dev
             t, dev = self._q.get()
             if self._error is not None or dev is None:
                 raise RuntimeError("input pipeline producer died") from self._error
-            if t == self._t_consumed:  # drop stale prefetches after a restore
-                self._t_consumed += 1
-                return dev
+            if t >= self._t_consumed:  # stash; stale prefetches are dropped
+                self._reorder[t] = dev
 
     # ---------------- checkpointing ----------------
     def state_dict(self) -> dict:
         return {"t_consumed": self._t_consumed}
 
     def load_state_dict(self, s: dict) -> None:
-        running = self._thread is not None
+        running = bool(self._threads)
         if running:
             self.stop()
         self._t_consumed = int(s["t_consumed"])
         self._t_next = self._t_consumed
+        self._reorder.clear()
         if running:
             self.start()
 
@@ -236,7 +262,7 @@ class MultiDomainPipeline(UnpairedPipeline):
     def __init__(self, datasets, batch_size_local: int, mesh=None,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
                  host_index: int = 0, host_count: int = 1,
-                 streams_per_step: int = 1):
+                 streams_per_step: int = 1, producer_threads: int = 1):
         if len(datasets) < 2:
             raise ValueError(
                 f"multi-domain pipeline needs >= 2 domains, got {len(datasets)}")
@@ -248,7 +274,8 @@ class MultiDomainPipeline(UnpairedPipeline):
         super().__init__(datasets[0], datasets[1], batch_size_local,
                          mesh=mesh, seed=seed, num_workers=num_workers,
                          prefetch=prefetch, host_index=host_index,
-                         host_count=host_count)
+                         host_count=host_count,
+                         producer_threads=producer_threads)
         # rebuild the stream list for N domains with decorrelated seeds
         self.datasets = list(datasets)
         self.streams = [
@@ -334,6 +361,7 @@ def make_input_pipeline(cfg, mesh=None, start: bool = True) -> UnpairedPipeline:
         prefetch=d.prefetch,
         host_index=jax.process_index(),
         host_count=host_count,
+        producer_threads=d.producer_threads,
     )
     return pipe.start() if start else pipe
 
@@ -373,5 +401,6 @@ def _make_multidomain(cfg, mesh, start: bool) -> MultiDomainPipeline:
         host_index=jax.process_index(),
         host_count=host_count,
         streams_per_step=3 if cfg.model.kind == "starganv2" else 1,
+        producer_threads=d.producer_threads,
     )
     return pipe.start() if start else pipe
