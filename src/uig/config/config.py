@@ -82,6 +82,12 @@ class ModelConfig:
     # the CONTRACTION side: k·k·cin = 147; b=4 recomputes it as one stride-4
     # conv with contraction 10·10·3 = 300 and 1024 output lanes). 0 = off.
     stem_s2d: int = 0
+    # s2d the stem's BACKWARD-DATA conv only: its dx writes a 3-lane
+    # 256²-image-grad plane, profiled at 0.023 of MXU peak — the single
+    # worst conv in the round-4 per-op budget (scripts/perf_budget.py).
+    # Forward lowering (and thus the stem->IN fusion that made stem_s2d a
+    # round-3 negative) is untouched. 0 = off.
+    stem_dx_s2d: int = 0
     # and for the two stride-2 downsample convs (executed as one stride-2b
     # conv over b² output blocks — layers.PadConv._s2d_conv generalizes to
     # any stride). 0 = off.

@@ -82,7 +82,7 @@ def _smalldata64() -> Config:
 def _cyclegan128() -> Config:
     return Config(
         model=ModelConfig(kind="cyclegan", image_size=128, n_res_blocks=6,
-                          head_s2d=4, fused_applies=True),
+                          head_s2d=4, stem_dx_s2d=4, fused_applies=True),
         loss=LossConfig(gan_mode="lsgan"),
         opt=OptConfig(total_steps=100_000, decay_start_step=50_000),
         data=DataConfig(load_size=143, batch_size=1, augment="pallas"),
@@ -93,7 +93,7 @@ def _cyclegan128() -> Config:
 def _cyclegan256_dp() -> Config:
     return Config(
         model=ModelConfig(kind="cyclegan", image_size=256, n_res_blocks=9,
-                          head_s2d=4, fused_applies=True),
+                          head_s2d=4, stem_dx_s2d=4, fused_applies=True),
         loss=LossConfig(gan_mode="lsgan", lambda_lpips=1.0),
         opt=OptConfig(total_steps=200_000, decay_start_step=100_000),
         data=DataConfig(load_size=286, batch_size=8, augment="pallas"),
@@ -202,6 +202,7 @@ def _unit256() -> Config:
     # Adam lr 1e-4 / (0.5, 0.999).
     return Config(
         model=ModelConfig(kind="unit", image_size=256,
+                          stem_dx_s2d=4,
                           unit_private_res=2, unit_shared_res=2),
         loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
                         lambda_unit_kl=0.01),
@@ -219,6 +220,7 @@ def _munit256() -> Config:
     # recon λ_x=10 / λ_c=λ_s=1 / cycle 0, LSGAN, Adam 1e-4 (0.5, 0.999).
     return Config(
         model=ModelConfig(kind="munit", image_size=256,
+                          stem_dx_s2d=4,
                           munit_style_dim=8, munit_content_res=4,
                           munit_mlp_dim=256, d_num_scales=3, d_norm="none",
                           d_layers=4),
@@ -239,6 +241,7 @@ def _stargan128() -> Config:
     # (λ_gp=10), λ_cls=1, λ_rec=10, Adam 1e-4 (0.5, 0.999), n_critic=5.
     return Config(
         model=ModelConfig(kind="stargan", image_size=128, num_domains=3,
+                          stem_dx_s2d=4,
                           n_res_blocks=6, d_layers=6),
         loss=LossConfig(gan_mode="wgan", lambda_cycle=10.0, lambda_cls=1.0,
                         lambda_gp=10.0, lambda_identity=0.0),
@@ -281,6 +284,7 @@ def _ugatit256() -> Config:
     # Adam 1e-4 (0.5, 0.999) + weight decay 1e-4, resize-286/crop-256.
     return Config(
         model=ModelConfig(kind="ugatit", image_size=256, n_res_blocks=4,
+                          stem_dx_s2d=4,
                           ugatit_d_global_layers=7, ugatit_d_local_layers=5),
         loss=LossConfig(gan_mode="lsgan", lambda_cycle=10.0,
                         lambda_identity=1.0, lambda_cam=1000.0),

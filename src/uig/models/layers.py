@@ -16,6 +16,7 @@ hand-written torch-CPU implementations in tests/unit/test_layers_oracle.py.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -83,7 +84,74 @@ def _norm(kind: str, dtype) -> Callable[[], nn.Module]:
     raise ValueError(f"unknown norm {kind!r}")
 
 
-def reflect_conv2d(x: jax.Array, w: jax.Array) -> jax.Array:
+def _conv_same_s1(x: jax.Array, w: jax.Array, p: int) -> jax.Array:
+    """Stride-1 SAME conv with IMPLICIT zero padding (the fusable form)."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def s2d_same_conv_s1(x: jax.Array, w: jax.Array, p: int,
+                     block: int) -> jax.Array:
+    """Stride-1 implicit-zero-pad SAME conv executed space-to-depth: ONE
+    stride-``block`` conv whose kernel embeds w at the block² subpixel
+    offsets (block²·f output lanes at 1/block² spatial), then
+    depth-to-space. Same linear map, better MXU lane utilization when f is
+    tiny. Output spatial must be divisible by ``block``."""
+    k, cin, f = w.shape[0], w.shape[2], w.shape[3]
+    bsz, h, wd = x.shape[0], x.shape[1], x.shape[2]
+    assert h % block == 0 and wd % block == 0, (h, wd, block)
+    kb = k + block - 1
+    wb = jnp.zeros((kb, kb, cin, block * block * f), w.dtype)
+    for di in range(block):
+        for dj in range(block):
+            o = (di * block + dj) * f
+            wb = wb.at[di:di + k, dj:dj + k, :, o:o + f].set(w)
+    y = jax.lax.conv_general_dilated(
+        x, wb, window_strides=(block, block), padding=((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(bsz, h // block, wd // block, block, block, f)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(bsz, h, wd, f)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_same_dx_s2d(x: jax.Array, w: jax.Array, p: int,
+                     block: int) -> jax.Array:
+    """Stride-1 implicit-zero-pad SAME conv whose BACKWARD-DATA pass runs
+    space-to-depth packed.
+
+    Why: for a conv with FEW input channels (the generator stem, cin=3),
+    the forward contracts over 3·k² — fine — but the backward-data conv
+    WRITES a 3-lane plane: profiled at 0.023 of MXU peak and ~4.4 ms each
+    on the 256² step (round-4 per-op budget, scripts/perf_budget.py — the
+    single worst conv in the program). dx = conv(cot, flip(w)ᵀ) is itself
+    a stride-1 SAME conv with tiny OUTPUT lanes, i.e. exactly the shape
+    the head's s2d trick already fixes — so run it s2d-packed. Forward
+    lowering is untouched (stays fused with IN/ReLU); dw keeps the
+    default formulation via jax.vjp. Same math, different schedule."""
+    return _conv_same_s1(x, w, p)
+
+
+def _conv_dx_s2d_fwd(x, w, p, block):
+    return _conv_same_s1(x, w, p), (x, w)
+
+
+def _conv_dx_s2d_bwd(p, block, res, ct):
+    x, w = res
+    _, vjp_w = jax.vjp(lambda ww: _conv_same_s1(x, ww, p), w)
+    dw, = vjp_w(ct)
+    # dx: SAME conv of the cotangent with the flipped/transposed kernel,
+    # s2d-packed (w[k-1-kh, k-1-kw, :, :]ᵀ has shape (k, k, f, cin))
+    wft = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+    dx = s2d_same_conv_s1(ct, wft, p, block)
+    return dx, dw
+
+
+conv_same_dx_s2d.defvjp(_conv_dx_s2d_fwd, _conv_dx_s2d_bwd)
+
+
+def reflect_conv2d(x: jax.Array, w: jax.Array,
+                   dx_s2d: int = 0) -> jax.Array:
     """SAME-shaped stride-1 reflect-padded conv at zero-pad fusion cost.
 
     Math identity: conv(reflect_pad(x)) differs from conv with implicit zero
@@ -113,10 +181,11 @@ def reflect_conv2d(x: jax.Array, w: jax.Array) -> jax.Array:
     """
     k = w.shape[0]
     p = k // 2
-    dn = ("NHWC", "HWIO", "NHWC")
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
-        dimension_numbers=dn)
+    if (dx_s2d and dx_s2d > 1 and x.shape[1] % dx_s2d == 0
+            and x.shape[2] % dx_s2d == 0):
+        y = conv_same_dx_s2d(x, w, p, dx_s2d)
+    else:
+        y = _conv_same_s1(x, w, p)
     return add_reflect_ring_delta(y, x, w)
 
 
@@ -236,6 +305,10 @@ class PadConv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d_block: int = 0  # 0/1 = off; b>1 = space-to-depth factor
+    # >1: the BACKWARD-DATA conv runs s2d-packed (conv_same_dx_s2d) — for
+    # stride-1 fused-reflect convs with few INPUT channels (the stem),
+    # whose dx writes a lane-starved plane. Forward lowering unchanged.
+    dx_s2d: int = 0
     # "fused": reflect SAME convs run as an implicit-zero-pad conv (keeps
     # XLA's pad-into-conv fusion) + exact additive border-ring delta —
     # reflect semantics at zero-pad cost (reflect_conv2d; the overwrite
@@ -306,7 +379,7 @@ class PadConv(nn.Module):
                 y = self._s2d_conv(xdt, wdt, b, pad=self.pad)
                 y = add_reflect_ring_delta(y, xdt, wdt)
             else:
-                y = reflect_conv2d(xdt, wdt)
+                y = reflect_conv2d(xdt, wdt, dx_s2d=self.dx_s2d)
         else:
             x = pad2d(x, self.pad, self.pad_mode)
             if s2d_on:

@@ -119,6 +119,7 @@ class _ContentEncoder(nn.Module):
     pad_impl: str = "fused"
     conv_impl: str = "xla"
     stem_s2d: int = 0
+    stem_dx_s2d: int = 0  # s2d-packed stem backward-data conv (0 = off)
     down_s2d: int = 0
     remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -131,7 +132,8 @@ class _ContentEncoder(nn.Module):
         block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode,
                     pad_impl=self.pad_impl, dtype=dt,
-                    s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
+                    s2d_block=self.stem_s2d, impl=self.conv_impl,
+                    dx_s2d=self.stem_dx_s2d)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.relu(x)
         for mult in (2, 4):
@@ -255,6 +257,7 @@ class MUNITGenerator(nn.Module):
     pad_impl: str = "fused"
     conv_impl: str = "xla"
     stem_s2d: int = 0
+    stem_dx_s2d: int = 0  # s2d-packed stem backward-data conv (0 = off)
     down_s2d: int = 0
     head_s2d: int = 0
     remat_blocks: bool = False
@@ -264,6 +267,7 @@ class MUNITGenerator(nn.Module):
         ckw = dict(base_features=self.base_features, n_res=self.n_content_res,
                    pad_mode=self.pad_mode, pad_impl=self.pad_impl,
                    conv_impl=self.conv_impl, stem_s2d=self.stem_s2d,
+                   stem_dx_s2d=self.stem_dx_s2d,
                    down_s2d=self.down_s2d, remat_blocks=self.remat_blocks,
                    dtype=self.dtype)
         skw = dict(base_features=self.base_features, style_dim=self.style_dim,

@@ -42,6 +42,11 @@ class ResNetGenerator(nn.Module):
     head_s2d: int = 0  # space-to-depth factor for the c7s1-3 head (0 = off)
     stem_s2d: int = 0  # same for the c7s1-64 stem conv (0 = off)
     down_s2d: int = 0  # same for the stride-2 downsample convs (0 = off)
+    # >1: the stem's BACKWARD-DATA conv runs s2d-packed (its dx writes a
+    # 3-lane image-grad plane — the worst conv in the round-4 per-op
+    # budget); forward lowering unchanged, so the round-3 stem_s2d
+    # negative (broken stem->IN fusion) does not apply. 0 = off.
+    stem_dx_s2d: int = 0
     # per-block jax.checkpoint (model.remat="blocks"): each residual block
     # stores only its input and recomputes internals in backward — near-full
     # trunk memory savings with many small remat regions instead of one
@@ -70,7 +75,8 @@ class ResNetGenerator(nn.Module):
         # stem: c7s1-64
         layers += [
             PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=pi,
-                    dtype=dt, s2d_block=self.stem_s2d, impl=ci),
+                    dtype=dt, s2d_block=self.stem_s2d, impl=ci,
+                    dx_s2d=self.stem_dx_s2d),
             InstanceNorm(dtype=dt),
             "relu",
         ]

@@ -57,6 +57,7 @@ class StarGANGenerator(nn.Module):
     upsample: str = "conv_transpose"
     head_s2d: int = 0
     stem_s2d: int = 0
+    stem_dx_s2d: int = 0  # s2d-packed stem backward-data conv (0 = off)
     down_s2d: int = 0
     remat_blocks: bool = False
     conv_impl: str = "xla"
@@ -82,7 +83,8 @@ class StarGANGenerator(nn.Module):
 
         x = x.astype(dt)
         x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=self.pad_impl,
-                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
+                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl,
+                    dx_s2d=self.stem_dx_s2d)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.relu(inject(x, f, "label_stem"))
         for i, mult in enumerate((2, 4)):

@@ -251,6 +251,7 @@ class UGATITGenerator(nn.Module):
     pad_impl: str = "fused"
     conv_impl: str = "xla"
     stem_s2d: int = 0
+    stem_dx_s2d: int = 0  # s2d-packed stem backward-data conv (0 = off)
     down_s2d: int = 0
     head_s2d: int = 0
     remat_blocks: bool = False
@@ -268,7 +269,8 @@ class UGATITGenerator(nn.Module):
         x = x.astype(dt)
         x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode,
                     pad_impl=self.pad_impl, use_bias=False, dtype=dt,
-                    s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
+                    s2d_block=self.stem_s2d, impl=self.conv_impl,
+                    dx_s2d=self.stem_dx_s2d)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.relu(x)
         for mult in (2, 4):

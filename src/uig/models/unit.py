@@ -41,6 +41,7 @@ class _PrivateEncoder(nn.Module):
     pad_impl: str = "fused"
     conv_impl: str = "xla"
     stem_s2d: int = 0  # space-to-depth factor for the c7s1 stem (0 = off)
+    stem_dx_s2d: int = 0  # s2d-packed stem BACKWARD-DATA conv (0 = off)
     down_s2d: int = 0  # same for the stride-2 downsample convs
     remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -50,7 +51,8 @@ class _PrivateEncoder(nn.Module):
         f, dt = self.base_features, self.dtype
         block_cls = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         x = PadConv(f, 7, pad=3, pad_mode=self.pad_mode, pad_impl=self.pad_impl,
-                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl)(x)
+                    dtype=dt, s2d_block=self.stem_s2d, impl=self.conv_impl,
+                    dx_s2d=self.stem_dx_s2d)(x)
         x = InstanceNorm(dtype=dt)(x)
         x = nn.relu(x)
         for mult in (2, 4):
@@ -126,6 +128,7 @@ class UNITGenerator(nn.Module):
     pad_impl: str = "fused"
     conv_impl: str = "xla"
     stem_s2d: int = 0
+    stem_dx_s2d: int = 0  # s2d-packed stem backward-data conv (0 = off)
     down_s2d: int = 0
     head_s2d: int = 0
     upsample: str = "conv_transpose"
@@ -139,9 +142,11 @@ class UNITGenerator(nn.Module):
                   remat_blocks=self.remat_blocks, dtype=self.dtype)
         self.enc_a = _PrivateEncoder(n_res=self.n_private_res,
                                      stem_s2d=self.stem_s2d,
+                                     stem_dx_s2d=self.stem_dx_s2d,
                                      down_s2d=self.down_s2d, **kw)
         self.enc_b = _PrivateEncoder(n_res=self.n_private_res,
                                      stem_s2d=self.stem_s2d,
+                                     stem_dx_s2d=self.stem_dx_s2d,
                                      down_s2d=self.down_s2d, **kw)
         self.dec_a = _PrivateDecoder(
             n_res=self.n_private_res, out_channels=self.out_channels,

@@ -97,7 +97,7 @@ class CUTTrainer:
         self.generator = ResNetGenerator(
             out_channels=m.out_channels, base_features=m.g_base_features,
             n_res_blocks=m.n_res_blocks, norm=m.norm, pad_mode=m.padding,
-            upsample=m.upsample, resample=m.resample, head_s2d=m.head_s2d, stem_s2d=m.stem_s2d,
+            upsample=m.upsample, resample=m.resample, head_s2d=m.head_s2d, stem_s2d=m.stem_s2d, stem_dx_s2d=m.stem_dx_s2d,
             down_s2d=m.down_s2d,
             remat_blocks=self._remat == "blocks", conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=dt,

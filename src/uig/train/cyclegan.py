@@ -65,7 +65,7 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample, resample=m.resample,
             head_s2d=m.head_s2d,
-            stem_s2d=m.stem_s2d,
+            stem_s2d=m.stem_s2d, stem_dx_s2d=m.stem_dx_s2d,
             down_s2d=m.down_s2d,
             remat_blocks=self._remat == "blocks",
             conv_impl=m.conv_impl, pad_impl=m.pad_impl,
@@ -83,7 +83,7 @@ class CycleGANTrainer:
             pad_mode=m.padding,
             upsample=m.upsample, resample=m.resample,
             head_s2d=m.head_s2d,
-            stem_s2d=m.stem_s2d,
+            stem_s2d=m.stem_s2d, stem_dx_s2d=m.stem_dx_s2d,
             down_s2d=m.down_s2d,
             conv_impl=m.conv_impl, pad_impl=m.pad_impl,
             dtype=jnp.dtype(m.eval_dtype),

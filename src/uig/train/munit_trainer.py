@@ -99,7 +99,7 @@ class MUNITTrainer:
             conv_impl=m.conv_impl,
             stem_s2d=m.stem_s2d,
             down_s2d=m.down_s2d,
-            head_s2d=m.head_s2d,
+            head_s2d=m.head_s2d, stem_dx_s2d=m.stem_dx_s2d,
         )
         self.generator = MUNITGenerator(
             remat_blocks=self._remat == "blocks", dtype=dt, **kw)

@@ -92,7 +92,7 @@ class StarGANTrainer:
             norm=m.norm,
             pad_mode=m.padding,
             upsample=m.upsample,
-            head_s2d=m.head_s2d,
+            head_s2d=m.head_s2d, stem_dx_s2d=m.stem_dx_s2d,
             stem_s2d=m.stem_s2d,
             down_s2d=m.down_s2d,
             conv_impl=m.conv_impl,

@@ -119,7 +119,7 @@ class UGATITTrainer:
             conv_impl=m.conv_impl,
             stem_s2d=m.stem_s2d,
             down_s2d=m.down_s2d,
-            head_s2d=m.head_s2d,
+            head_s2d=m.head_s2d, stem_dx_s2d=m.stem_dx_s2d,
         )
         self.generator = UGATITGenerator(
             remat_blocks=self._remat == "blocks", dtype=dt, **gkw)

@@ -19,6 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uig.config import apply_overrides, get_preset
 from uig.models.munit import MUNITGenerator

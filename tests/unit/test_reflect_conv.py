@@ -114,3 +114,41 @@ def test_padconv_tiny_plane_falls_back():
     params = conv.init(jax.random.PRNGKey(6), x)
     y = conv.apply(params, x)
     assert y.shape == (1, 6, 6, 4)
+
+
+def test_dx_s2d_backward_matches_default():
+    """conv_same_dx_s2d: forward and d/dw are BIT-identical to the plain
+    implicit-pad conv (same HLO); d/dx differs only by fp reassociation of
+    the s2d-packed schedule (round-4 per-op budget lever: the stem's
+    backward-data conv writes a 3-lane plane at 0.023 of MXU peak)."""
+    from uig.models.layers import reflect_conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(7, 7, 3, 8)) * 0.1, jnp.float32)
+
+    def grads(fn):
+        def loss(x, w):
+            return jnp.sum(fn(x, w) ** 2)
+        return jax.grad(loss, argnums=(0, 1))(x, w), fn(x, w)
+
+    (gx0, gw0), y0 = grads(lambda x, w: reflect_conv2d(x, w))
+    (gx1, gw1), y1 = grads(lambda x, w: reflect_conv2d(x, w, dx_s2d=4))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(gw0), np.asarray(gw1))
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dx_s2d_indivisible_falls_back():
+    """H/W not divisible by the block: the custom-vjp path is skipped and
+    plain autodiff applies (serving arbitrary sizes stays valid)."""
+    from uig.models.layers import reflect_conv2d
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 18, 18, 3))
+    w = jax.random.normal(jax.random.PRNGKey(4), (7, 7, 3, 4)) * 0.1
+    y0 = reflect_conv2d(x, w)
+    y1 = reflect_conv2d(x, w, dx_s2d=4)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    g = jax.grad(lambda x: jnp.sum(reflect_conv2d(x, w, dx_s2d=4) ** 2))(x)
+    assert g.shape == x.shape
