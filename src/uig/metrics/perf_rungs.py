@@ -38,11 +38,17 @@ RUNGS = {
     "fastcut256": ("fastcut256", [], 16),
     "dclgan256": ("dclgan256", [], 16),
     "gcgan256": ("gcgan256", [], 16),
-    "unit256": ("unit256", [], 16),
+    # batch 24 (not 16): round-4 sweep — 60.5 img/s at 16 vs 61.7 at 24
+    # with stem_dx_s2d (0.443 -> 0.452)
+    "unit256": ("unit256", [], 24),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
     # batch 12: per-device batch must be a multiple of num_domains=3
     "stargan128": ("stargan128", [], 12),
-    "starganv2_256": ("starganv2_256", [], 12),
+    # batch 24 (not 12): round-4 sweep 12/18/24 -> 22.7 / 21.2 / 27.1
+    # img/s (0.280 / 0.265 / 0.340) — the 256²x64 full-res stages of v2's
+    # four networks need the deeper batch to fill the MXU; 18 (not an
+    # 8-multiple per device plane) is the worst of the three
+    "starganv2_256": ("starganv2_256", [], 24),
     "ugatit256": ("ugatit256", [], 8),
     "nicegan256": ("nicegan256", [], 8),
     "vaegan256": ("vaegan256", [], 8),
