@@ -155,6 +155,17 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--seed", type=int, default=0)
     sm.add_argument("--step", type=int, default=None)
     _add_common(sm)
+
+    bm = sub.add_parser(
+        "bench", help="per-rung throughput + roofline on this accelerator "
+                      "(uig.metrics.perf_rungs; no args = every rung)")
+    bm.add_argument("rungs", nargs="*", metavar="RUNG",
+                    help="rung names (see --list); default: all")
+    bm.add_argument("--list", action="store_true", help="list rung names")
+    bm.add_argument("--steps", type=int, default=12)
+    bm.add_argument("--repeats", type=int, default=3)
+    bm.add_argument("--json", action="store_true", dest="as_json",
+                    help="one JSON line per rung instead of the table")
     return p
 
 
@@ -213,6 +224,36 @@ def main(argv=None) -> int:
         n = PackedDataset.pack(src, args.output)
         print(json.dumps({"packed": n, "output": args.output}))
         return 0
+    if args.cmd == "bench":
+        from uig.metrics.perf_rungs import RUNGS, measure_rung
+
+        if args.list:
+            for name, (preset, _, batch) in RUNGS.items():
+                print(f"{name:<22s} preset={preset} batch={batch}")
+            return 0
+        names = args.rungs or list(RUNGS)
+        unknown = [n for n in names if n not in RUNGS]
+        if unknown:
+            print(f"unknown rung(s) {unknown}; `uig bench --list` shows "
+                  f"the registry", file=sys.stderr)
+            return 2
+        rc = 0
+        for name in names:
+            try:
+                r = measure_rung(name, steps=args.steps,
+                                 repeats=args.repeats)
+                if args.as_json:
+                    print(json.dumps(r))
+                else:
+                    print(f"{name:<22s} {r['ms_step']:7.1f} ms/step  "
+                          f"{r['img_s']:7.1f} img/s  {r['tf_step']:6.2f} "
+                          f"TF/step  roofline {r['roofline']:.3f}",
+                          flush=True)
+            except Exception as e:
+                print(f"{name:<22s} FAILED: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                rc = 1
+        return rc
     if args.cmd == "sample":
         from uig.cli.sample import run_sample
 

@@ -204,3 +204,14 @@ def test_translate_packed_and_tfrecord_sources(tmp_path, png_dirs, capsys):
             tw.add(os.path.join(dir_a, f), arcname=f)
     from_wds = translate(wds_dir, "out_wds")  # auto-detected by .tar
     np.testing.assert_array_equal(from_folder, from_wds)
+
+
+def test_bench_cli_list_and_validation(capsys):
+    """`uig bench --list` prints the rung registry; unknown rungs are a
+    loud usage error (rc=2) without touching the accelerator."""
+    from uig.cli.main import main
+
+    assert main(["bench", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "cyclegan256" in out and "vqgan512" in out
+    assert main(["bench", "not-a-rung"]) == 2
