@@ -260,8 +260,13 @@ def main():
                 out.update(_real_pipeline_bench(
                     cfg, batch * n_chips, steps, img_per_sec_chip, n_chips))
             if os.environ.get("UIG_BENCH_RUNGS", "1") != "0":
+                # fail-safe ordering: emit the flagship line FIRST so a
+                # driver-side timeout during the rungs still leaves a valid
+                # JSON tail; the final line (tail when we finish) carries
+                # the full per-rung array as well
+                print(json.dumps(out), flush=True)
                 out["rungs"] = _all_rungs_bench(
-                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "900")))
+                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "600")))
             print(json.dumps(out))
             return
         except Exception as e:  # try a smaller batch (OOM etc.)
