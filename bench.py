@@ -149,9 +149,11 @@ def _all_rungs_bench(budget_s: float):
             rows.append({"rung": name, "skipped": "budget"})
             continue
         try:
-            # 10x3 not 12x3: cheaper, and median-of-best still stable; the
-            # 8x2 first cut read cyclegan128 37% slow vs a solo 12x3 run
-            rows.append(measure_rung(name, steps=10, repeats=3))
+            # per-rung adaptive steps (target ~2 s per repeat loop, capped
+            # at 30): the 886 ms starganv2 step doesn't need 10x3 to beat
+            # tunnel noise, while the 60 ms 128² step needs >10 steps/loop
+            # (the 8x2 first cut read cyclegan128 37% slow vs a solo 12x3)
+            rows.append(measure_rung(name, steps=30, repeats=3, target_s=2.0))
         except Exception as e:  # record, keep going
             rows.append({"rung": name,
                          "error": f"{type(e).__name__}: {e}"[:160]})
@@ -265,8 +267,12 @@ def main():
                 # JSON tail; the final line (tail when we finish) carries
                 # the full per-rung array as well
                 print(json.dumps(out), flush=True)
+                # 900 s default (round-4's 600 skipped 4/15 rungs): the
+                # flagship-first fail-safe above already removed the
+                # artifact-loss risk that motivated 600, and the per-rung
+                # adaptive steps cut measurement time well under budget
                 out["rungs"] = _all_rungs_bench(
-                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "600")))
+                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "900")))
             print(json.dumps(out))
             return
         except Exception as e:  # try a smaller batch (OOM etc.)

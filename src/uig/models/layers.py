@@ -128,7 +128,15 @@ def conv_same_dx_s2d(x: jax.Array, w: jax.Array, p: int,
     a stride-1 SAME conv with tiny OUTPUT lanes, i.e. exactly the shape
     the head's s2d trick already fixes — so run it s2d-packed. Forward
     lowering is untouched (stays fused with IN/ReLU); dw keeps the
-    default formulation via jax.vjp. Same math, different schedule."""
+    default formulation via jax.vjp. Same math, different schedule.
+
+    Odd kernels only: dx = conv_same(ct, flip(w)ᵀ, p) relies on the
+    identity 2p == k-1 (for even k the backward-data padding is k-1-p,
+    not p, and the s2d dx would be silently wrong)."""
+    if w.shape[0] % 2 == 0 or 2 * p != w.shape[0] - 1:
+        raise ValueError(
+            f"conv_same_dx_s2d requires an odd kernel with 2p == k-1, got "
+            f"k={w.shape[0]}, p={p}; use the default VJP for even kernels")
     return _conv_same_s1(x, w, p)
 
 

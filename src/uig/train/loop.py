@@ -100,7 +100,21 @@ def fit(cfg: Config, max_steps: int | None = None) -> dict:
     trainer = build_trainer(cfg, mesh)
     k = cfg.run.steps_per_dispatch
     multi_step = None
-    if k > 1:
+    if cfg.run.n_critic_fuse:
+        from uig.train.multi_step import validate_dispatch_alignment
+
+        if k > 1:
+            raise ValueError(
+                "run.n_critic_fuse and run.steps_per_dispatch>1 are "
+                "mutually exclusive (both change the dispatch chunk)")
+        if not hasattr(trainer, "build_period_step"):
+            raise ValueError(
+                "run.n_critic_fuse is only supported for model.kind="
+                f"'stargan', not {cfg.model.kind!r}")
+        k = trainer.n_critic
+        validate_dispatch_alignment(cfg, k)
+        multi_step = trainer.build_period_step()
+    elif k > 1:
         from uig.train.multi_step import (build_multi_step,
                                           validate_dispatch_alignment)
 

@@ -96,10 +96,13 @@ def build_multi_step(trainer, k: int):
     return step_k
 
 
-def validate_dispatch_alignment(cfg) -> None:
+def validate_dispatch_alignment(cfg, k: int | None = None) -> None:
     """Loud-failure check that every host-visible cadence is a multiple of
-    steps_per_dispatch (so boundaries fall between dispatches)."""
-    k = cfg.run.steps_per_dispatch
+    the dispatch chunk (so boundaries fall between dispatches).  ``k``
+    defaults to run.steps_per_dispatch; run.n_critic_fuse passes the
+    trainer's n_critic instead."""
+    if k is None:
+        k = cfg.run.steps_per_dispatch
     if k <= 1:
         return
     cadences = {
@@ -113,5 +116,5 @@ def validate_dispatch_alignment(cfg) -> None:
     bad = {n: v for n, v in cadences.items() if v and v % k}
     if bad:
         raise ValueError(
-            f"run.steps_per_dispatch={k} requires every cadence to be a "
+            f"dispatch chunk k={k} requires every cadence to be a "
             f"multiple of k; offending: {bad}")

@@ -213,9 +213,8 @@ class StarGANv2Trainer:
         n_dom = self.num_domains
 
         step_key = fold_step(state.rng, state.step)
-        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
-        keys = split_named(step_key, ("aug_x", "aug_r", "aug_r2", "z", "z2",
-                                      "trg"))
+        shard_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis))
+        keys = split_named(shard_key, ("aug_x", "aug_r", "aug_r2"))
 
         crop = cfg.model.image_size
 
@@ -233,10 +232,21 @@ class StarGANv2Trainer:
         # source/reference labels are STATIC: interleaved round-robin layout
         y_org = jnp.tile(jnp.arange(n_dom, dtype=jnp.int32), bsz // n_dom)
         y_ref = y_org  # both reference batches share the same layout
-        # latent-pass target domains: uniform, fresh each step
-        y_trg = jax.random.randint(keys["trg"], (bsz,), 0, n_dom, jnp.int32)
-        z = jax.random.normal(keys["z"], (bsz, self.latent_dim), jnp.float32)
-        z2 = jax.random.normal(keys["z2"], (bsz, self.latent_dim), jnp.float32)
+        # latent-pass target domains + style noise: per-EXAMPLE keys derived
+        # from the GLOBAL example position (shard offset + in-shard index),
+        # so the draws — and therefore the training trajectory — are
+        # invariant to device count (DP-n == DP-1, asserted by the driver's
+        # dryrun; an axis-folded batch draw would tie the trajectory to the
+        # sharding)
+        gpos = (jax.lax.axis_index(axis) * bsz
+                + jnp.arange(bsz, dtype=jnp.uint32))
+        ex_key = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(gpos)
+        y_trg = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, n_dom, jnp.int32))(ex_key)
+        z = jax.vmap(lambda k: jax.random.normal(
+            jax.random.fold_in(k, 1), (self.latent_dim,), jnp.float32))(ex_key)
+        z2 = jax.vmap(lambda k: jax.random.normal(
+            jax.random.fold_in(k, 2), (self.latent_dim,), jnp.float32))(ex_key)
 
         g_apply = (jax.checkpoint(G.apply) if self._remat == "full"
                    else G.apply)
@@ -245,7 +255,7 @@ class StarGANv2Trainer:
         lam_ds = self._lambda_ds(state.step)
 
         if self._ada:
-            ada_key = jax.random.fold_in(step_key, 0xADA)
+            ada_key = jax.random.fold_in(shard_key, 0xADA)
             T = lambda im, i: ada.diff_augment(
                 im, jax.random.fold_in(ada_key, i), state.ada_p,
                 self._ada_ops)

@@ -217,3 +217,57 @@ def test_stargan_cli_train_ckpt_translate_roundtrip(tmp_path):
         outs[t] = np.asarray(Image.open(os.path.join(out_dir, files[0])))
     # different target domains must produce different translations
     assert not np.array_equal(outs[1], outs[2])
+
+
+def test_stargan_period_fusion_matches_single_steps():
+    """build_period_step (one statically-unrolled n_critic period per
+    dispatch) must produce the same params/EMA as n_critic aligned single steps up
+    to fp reassociation (different XLA program, same math) — the PRNG
+    folds the carried step and the static g-turn positions match the
+    lax.cond schedule exactly."""
+    n_critic = 3
+    cfg = _cfg(batch=6, n_dom=3, n_critic=n_critic)
+    # SGD: generator conv biases feeding InstanceNorm have mathematically
+    # ZERO gradient (IN subtracts the mean, annihilating bias), so their
+    # numeric grads are pure cancellation noise — Adam NORMALIZES that
+    # noise into ±lr-sized program-dependent drift. SGD keeps it at
+    # noise scale so the comparison measures the schedule, not Adam's
+    # amplification of zero-grads (same reasoning as test_dp_equivalence).
+    cfg = dataclasses.replace(
+        cfg, opt=dataclasses.replace(cfg.opt, optimizer="sgd"))
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 255, (6, 36, 36, 3), dtype=np.uint8)
+               for _ in range(2 * n_critic)]
+
+    # arm 1: single steps
+    tr = StarGANTrainer(cfg, mesh)
+    s1 = tr.init_state(jax.random.PRNGKey(0))
+    for b in batches:
+        s1, m1 = tr.train_step(s1, shard_batch(mesh, (b,)))
+
+    # arm 2: two fused periods
+    tr2 = StarGANTrainer(cfg, mesh)
+    s2 = tr2.init_state(jax.random.PRNGKey(0))
+    period = tr2.build_period_step()
+    dev = [shard_batch(mesh, (b,)) for b in batches]
+    s2, m2a = period(s2, dev[:n_critic])
+    s2, m2 = period(s2, dev[n_critic:])
+
+    assert int(jax.device_get(s1.step)) == int(jax.device_get(s2.step)) == 6
+    # identical MATH; the fused program is a different XLA program, so
+    # fusion/reassociation choices differ -> fp-noise-level diffs only
+    for name in ("g_params", "d_params", "ema"):
+        f1 = jax.tree_util.tree_leaves(getattr(s1, name))
+        f2 = jax.tree_util.tree_leaves(getattr(s2, name))
+        for x, y in zip(f1, f2):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=5e-5, atol=5e-7)
+    # last-sub-step metrics match what aligned single-stepping logged
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
+                                   atol=1e-5, err_msg=k)
+    # misuse is loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        period(s2, dev[:n_critic - 1])
