@@ -48,8 +48,11 @@ RUNGS = {
     # with stem_dx_s2d (0.443 -> 0.452)
     "unit256": ("unit256", [], 24),
     "munit256": ("munit256", ["parallel.multihost=False"], 16),
-    # batch 12: per-device batch must be a multiple of num_domains=3
-    "stargan128": ("stargan128", [], 12),
+    # batch 12: per-device batch must be a multiple of num_domains=3.
+    # n_critic period fusion (round-5 A/B: 12.49 -> 11.83 ms/step, +5.6%,
+    # scripts/stargan_period_ab.py): one statically-unrolled 4xD + 1x(D+G)
+    # program per dispatch — the family's best measured config.
+    "stargan128": ("stargan128", ["run.n_critic_fuse=True"], 12),
     # batch 24 (not 12): round-4 sweep 12/18/24 -> 22.7 / 21.2 / 27.1
     # img/s (0.280 / 0.265 / 0.340) — the 256²x64 full-res stages of v2's
     # four networks need the deeper batch to fill the MXU; 18 (not an
@@ -148,6 +151,17 @@ def measure_rung(name, steps=12, repeats=3, target_s: float = 0.0):
         dev = shard_batch(mesh, (a, b, c))
     else:
         dev = shard_batch(mesh, (a, b))
+    # run.n_critic_fuse (StarGAN): measure the period-fused program; each
+    # "step" below is one period of n_critic sub-steps, so per-step time
+    # divides by n_critic and the schedule-weighted FLOPs stay comparable
+    period_k = 1
+    if getattr(cfg.run, "n_critic_fuse", False):
+        period_k = tr.n_critic
+        step_p = tr.build_period_step()
+        one = dev[0] if isinstance(dev, tuple) else dev
+        orig_step = tr.train_step
+        tr.train_step = lambda s, d: step_p(s, [one] * period_k)
+        del orig_step
     state, m = tr.train_step(state, dev)
     jax.device_get(m)
     if target_s > 0:
@@ -163,7 +177,8 @@ def measure_rung(name, steps=12, repeats=3, target_s: float = 0.0):
         for _ in range(steps):
             state, m = tr.train_step(state, dev)
         jax.device_get(m)
-        times.append((time.perf_counter() - t0) / steps)
+        # one train_step call = period_k schedule steps under n_critic_fuse
+        times.append((time.perf_counter() - t0) / (steps * period_k))
     best = min(times)
     spread = (max(times) - best) / best if best else 0.0
 
