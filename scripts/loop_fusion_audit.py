@@ -37,9 +37,11 @@ def main(steps=4, rung="cyclegan256", topn=30):
     from uig.train.loop import build_trainer
 
     preset, overrides, batch = RUNGS[rung]
+    extra = [o for o in os.environ.get("UIG_AUDIT_OVERRIDES", "").split(",")
+             if o]
     cfg = apply_overrides(get_preset(preset), [
         f"data.batch_size={batch}", "data.augment=xla",
-        "loss.lambda_lpips=0"] + overrides)
+        "loss.lambda_lpips=0"] + overrides + extra)
     mesh = make_mesh()
     tr = build_trainer(cfg, mesh)
     state = tr.init_state(jax.random.PRNGKey(0))

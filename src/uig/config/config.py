@@ -73,6 +73,12 @@ class ModelConfig:
     # stem, downsample, instance norms) always stays on XLA, which measured
     # at or near the practical ceiling for those shapes.
     conv_impl: str = "xla"  # xla | pallas
+    # route trunk conv+IN(+ReLU) pairs through the fused Pallas kernel
+    # (uig.kernels.convin_pallas): conv + fp32 channel moments + normalize
+    # in ONE VMEM residency per example — two full-plane HBM reads saved
+    # per pair vs XLA's conv/moments/normalize lowering. Identical param
+    # tree and math; falls back per-plane when VMEM won't fit.
+    convin_pallas: bool = False
     # space-to-depth factor for the 3-channel generator head conv (0 = off).
     # The c7s1-3 head is 3/128 MXU-lane-efficient and ~25% of the 256² step;
     # b=4 executes the same linear map with 48 output lanes (docs/DESIGN.md

@@ -42,9 +42,18 @@ class InstanceNorm(nn.Module):
     # or affine params are absent.
     impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    # >0: declare the (scale, bias) params for that many features and
+    # return them WITHOUT computing — the fused conv+IN kernel path
+    # (ResnetBlock convin) consumes the params directly while the param
+    # tree stays identical to the unfused composition.
+    emit_params_only: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.emit_params_only:
+            f = self.emit_params_only
+            return (self.param("scale", nn.initializers.ones, (f,)),
+                    self.param("bias", nn.initializers.zeros, (f,)))
         if self.impl == "pallas" and self.affine and _in_plane_fits(x.shape):
             from uig.kernels.norm_pallas import instance_norm_pallas
 
@@ -334,6 +343,10 @@ class PadConv(nn.Module):
     # normal(0.02) attenuates activations ~0.5× per conv there, pinning D
     # and the style encoder at zero output for thousands of steps.
     kernel_init: object = nn.initializers.normal(0.02)
+    # True: declare (kernel, bias) and return them WITHOUT convolving —
+    # the fused conv+IN kernel path consumes the params directly while
+    # the param tree stays identical to the unfused composition.
+    emit_params_only: bool = False
 
     def _pallas_route(self, x) -> str:
         if self.impl != "pallas" or (self.s2d_block and self.s2d_block > 1):
@@ -360,6 +373,8 @@ class PadConv(nn.Module):
         w = self.param("kernel", self.kernel_init, (k, k, cin, f))
         bias = (self.param("bias", nn.initializers.zeros, (f,))
                 if self.use_bias else None)
+        if self.emit_params_only:
+            return w, bias
         route = self._pallas_route(x)
         if route == "conv7":
             from uig.kernels.conv_pallas import conv7_s2d
@@ -569,16 +584,50 @@ class UpsampleConv(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """CycleGAN residual block: [pad1 conv3 IN ReLU pad1 conv3 IN] + skip."""
+    """CycleGAN residual block: [pad1 conv3 IN ReLU pad1 conv3 IN] + skip.
+
+    ``convin``: route each conv+IN(+ReLU) pair through the fused Pallas
+    kernel (uig.kernels.convin_pallas) — one VMEM residency computes the
+    conv, the fp32 channel moments AND the normalization, cutting two
+    full-plane HBM reads per pair vs the XLA lowering. Param tree is
+    IDENTICAL to the unfused composition (same module order, names and
+    shapes), so checkpoints interchange. Falls back automatically when
+    the plane doesn't fit VMEM or the norm isn't instance."""
 
     features: int
     norm: str = "instance"
     pad_mode: str = "reflect"
     pad_impl: str = "fused"
+    convin: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        use_fused = False
+        if self.convin and self.norm == "instance" \
+                and self.pad_mode in ("reflect", "zeros"):
+            from uig.kernels.convin_pallas import convin_viable
+
+            use_fused = convin_viable(
+                x.shape, jnp.dtype(self.dtype).itemsize)
+        if use_fused:
+            from uig.kernels.convin_pallas import conv3_in_act
+
+            f = self.features
+            xd = x.astype(self.dtype)
+            conv = partial(
+                PadConv, f, 3, pad=1, pad_mode=self.pad_mode,
+                pad_impl=self.pad_impl, dtype=self.dtype,
+                emit_params_only=True)
+            w1, b1 = conv()(xd)
+            g1, be1 = InstanceNorm(dtype=self.dtype, emit_params_only=f)(xd)
+            h = conv3_in_act(xd, w1, b1, g1, be1, relu=True,
+                             pad_mode=self.pad_mode)
+            w2, b2 = conv()(h)
+            g2, be2 = InstanceNorm(dtype=self.dtype, emit_params_only=f)(h)
+            h = conv3_in_act(h, w2, b2, g2, be2, relu=False,
+                             pad_mode=self.pad_mode)
+            return x + h
         norm = _norm(self.norm, self.dtype)
         h = PadConv(self.features, 3, pad=1, pad_mode=self.pad_mode,
                     pad_impl=self.pad_impl, dtype=self.dtype)(x)

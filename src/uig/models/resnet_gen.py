@@ -63,6 +63,10 @@ class ResNetGenerator(nn.Module):
     # additive border-ring delta (reflect semantics at zero-pad fusion
     # cost — layers.reflect_conv2d); "explicit" = materialized reflect pad.
     pad_impl: str = "fused"
+    # route trunk conv+IN(+ReLU) pairs through the fused Pallas kernel
+    # (uig.kernels.convin_pallas): one VMEM residency per pair, two
+    # full-plane HBM reads saved. Identical param tree.
+    convin_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -104,7 +108,7 @@ class ResNetGenerator(nn.Module):
         for _ in range(self.n_res_blocks):
             layers += [
                 block_cls(f * 4, norm=self.norm, pad_mode=self.pad_mode,
-                          pad_impl=pi, dtype=dt)
+                          pad_impl=pi, convin=self.convin_pallas, dtype=dt)
             ]
         # upsample: u128, u64
         for mult in (2, 1):

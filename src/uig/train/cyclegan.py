@@ -69,6 +69,7 @@ class CycleGANTrainer:
             down_s2d=m.down_s2d,
             remat_blocks=self._remat == "blocks",
             conv_impl=m.conv_impl, pad_impl=m.pad_impl,
+            convin_pallas=m.convin_pallas,
             dtype=dt,
         )
         self.discriminator = PatchDiscriminator(
