@@ -49,14 +49,20 @@ def main(steps=4, rung="cyclegan256", topn=30):
     L = cfg.data.load_size
     a = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
     b = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
-    bd = shard_batch(mesh, (a, b))
+    if cfg.model.kind == "stargan":
+        bd = shard_batch(mesh, (a,))
+    elif cfg.model.kind == "starganv2":
+        c = rng.integers(0, 255, (batch, L, L, 3), dtype=np.uint8)
+        bd = shard_batch(mesh, (a, b, c))
+    else:
+        bd = shard_batch(mesh, (a, b))
     for _ in range(2):
         state, m = tr.train_step(state, bd)
     jax.device_get(m)
 
     # compiled HLO text for fusion bodies
     try:
-        hlo = tr._train_step.lower(state, bd[0], bd[1]).compile().as_text()
+        hlo = tr._train_step.lower(state, *bd).compile().as_text()
     except Exception as e:
         hlo = ""
         print(f"# no HLO text: {e}")

@@ -275,6 +275,19 @@ def add_reflect_ring_delta(y: jax.Array, x: jax.Array,
     return y
 
 
+def nearest_up2(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2× spatial upsample as broadcast+reshape (NHWC).
+
+    Identical output to jax.image.resize(..., "nearest") at exact factor
+    2 — but that lowering goes through gathers that XLA:TPU serializes
+    into per-row `while` loops (measured 76 ms/step of while time in the
+    starganv2_256 step, round-5 audit, BASELINE.md). This form is pure
+    vectorized data movement; its VJP is a 2×2 window sum."""
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
 def pad2d(x: jax.Array, p: int, mode: str) -> jax.Array:
     """Spatial padding for NHWC. mode: reflect | zeros.
 
@@ -576,8 +589,7 @@ class UpsampleConv(nn.Module):
                 kernel_init=nn.initializers.normal(0.02),
             )(x)
         if self.method == "resize_conv":
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+            x = nearest_up2(x)
             return PadConv(self.features, 3, pad=1, pad_mode="zeros",
                            dtype=self.dtype)(x)
         raise ValueError(f"unknown upsample method {self.method!r}")

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uig.models.layers import InstanceNorm, PadConv
+from uig.models.layers import InstanceNorm, PadConv, nearest_up2
 
 
 class AdaIN(nn.Module):
@@ -223,7 +223,7 @@ class _Decoder(nn.Module):
                 x, ada[:, 2 * i], ada[:, 2 * i + 1])
         for mult in (2, 1):
             b, hh, ww, c = x.shape
-            x = jax.image.resize(x, (b, 2 * hh, 2 * ww, c), "nearest")
+            x = nearest_up2(x)  # gather-free (layers.nearest_up2)
             x = PadConv(f * mult, 5, pad=2, pad_mode=self.pad_mode,
                         pad_impl=self.pad_impl, dtype=dt)(x)
             x = LayerNorm2d(dtype=dt)(x)

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uig.models.layers import PadConv
+from uig.models.layers import PadConv, nearest_up2
 from uig.models.ugatit import AdaLINResBlock, ILN, SNConv, spectral_normalize
 
 
@@ -107,7 +107,7 @@ class NICEDecoder(nn.Module):
                         dtype=dt, name=f"DecBlock_{i}")(x, gamma, beta)
         for mult in (2, 1):
             b, hh, ww, c = x.shape
-            x = jax.image.resize(x, (b, 2 * hh, 2 * ww, c), "nearest")
+            x = nearest_up2(x)  # gather-free (layers.nearest_up2)
             x = PadConv(f * mult, 3, pad=1, pad_mode=self.pad_mode,
                         pad_impl=self.pad_impl, use_bias=False, dtype=dt)(x)
             x = ILN(dtype=dt)(x)

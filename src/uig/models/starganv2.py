@@ -161,8 +161,9 @@ class V2AdainResBlk(nn.Module):
         cin = x.shape[-1]
 
         def up(t):
-            b, hh, ww, c = t.shape
-            return jax.image.resize(t, (b, 2 * hh, 2 * ww, c), "nearest")
+            from uig.models.layers import nearest_up2
+
+            return nearest_up2(t)  # gather-free (see layers.nearest_up2)
 
         h = StyleAdaIN(cin, dtype=self.dtype)(x, s)
         h = nn.leaky_relu(h, 0.2)

@@ -50,7 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from uig.models.layers import InstanceNorm, PadConv, ResnetBlock
+from uig.models.layers import (InstanceNorm, PadConv, ResnetBlock,
+                                   nearest_up2)
 
 
 def _l2n(v: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -310,7 +311,7 @@ class UGATITGenerator(nn.Module):
                         dtype=dt, name=f"DecBlock_{i}")(x, gamma, beta)
         for mult in (2, 1):
             b, hh, ww, c = x.shape
-            x = jax.image.resize(x, (b, 2 * hh, 2 * ww, c), "nearest")
+            x = nearest_up2(x)  # gather-free (layers.nearest_up2)
             x = PadConv(f * mult, 3, pad=1, pad_mode=self.pad_mode,
                         pad_impl=self.pad_impl, use_bias=False, dtype=dt)(x)
             x = ILN(dtype=dt)(x)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from uig.kernels.attention_pallas import attention
+from uig.models.layers import nearest_up2
 
 
 def _swish(x):
@@ -160,7 +161,7 @@ class VQGANDecoder(nn.Module):
                 h = AB(self.attn_impl, dt)(h)
             if i > 0:  # upsample between stages
                 b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
+                h = nearest_up2(h)  # gather-free (layers.nearest_up2)
                 h = nn.Conv(c, (3, 3), dtype=dt, param_dtype=jnp.float32)(h)
         h = GN(dt)(h)
         h = _swish(h)

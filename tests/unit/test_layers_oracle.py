@@ -147,3 +147,25 @@ def test_resnet_block_identity_at_zero_weights():
     y = mod.apply(zeroed, x)
     # zero conv weights + zero IN scale -> block output == input (pure skip)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_nearest_up2_matches_resize():
+    """nearest_up2 (broadcast+reshape, gather-free on TPU) must be
+    bit-identical to jax.image.resize nearest at factor 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from uig.models.layers import nearest_up2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 3))
+    want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    got = nearest_up2(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # VJP: 2x2 window sum
+    ct = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 14, 3))
+    _, vjp = jax.vjp(nearest_up2, x)
+    _, vjp_ref = jax.vjp(
+        lambda t: jax.image.resize(t, (2, 10, 14, 3), method="nearest"), x)
+    np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
+                               np.asarray(vjp_ref(ct)[0]), rtol=1e-5,
+                               atol=1e-6)
