@@ -58,11 +58,14 @@ RUNGS = {
     # four networks need the deeper batch to fill the MXU; 18 (not an
     # 8-multiple per device plane) is the worst of the three
     "starganv2_256": ("starganv2_256", [], 24),
-    # batch 16 (not 8): round-3 sweep measured B=8 31.3 img/s / 0.347 vs
-    # B=16 33.1 / 0.368 — the rung records the family's best config
-    # (round-4 artifact under-reported it at B=8; VERDICT r4 weak #2)
-    "ugatit256": ("ugatit256", [], 16),
-    "nicegan256": ("nicegan256", [], 8),
+    # B=16 + fused applies: round-5 sweep with the gather-free upsample —
+    # B=16 plain 0.403, B=16 fused 0.419 (37.2 img/s), B=8 fused 0.406;
+    # the rung records the family's best config (round-4 artifact
+    # under-reported it at B=8 plain, 0.353; VERDICT r4 weak #2)
+    "ugatit256": ("ugatit256", ["model.fused_applies=True"], 16),
+    # B=16 (not 8): round-5 sweep with the gather-free upsample — B=8
+    # 0.411, B=16 0.470 (48.8 img/s), B=12 0.351 (non-8-multiple plane)
+    "nicegan256": ("nicegan256", [], 16),
     "vaegan256": ("vaegan256", [], 8),
     "vqgan256": ("vqgan512", ["model.image_size=256", "model.remat=none"], 4),
     "vqgan512": ("vqgan512", ["model.remat=blocks"], 8),
