@@ -267,12 +267,14 @@ def main():
                 # JSON tail; the final line (tail when we finish) carries
                 # the full per-rung array as well
                 print(json.dumps(out), flush=True)
-                # 900 s default (round-4's 600 skipped 4/15 rungs): the
-                # flagship-first fail-safe above already removed the
-                # artifact-loss risk that motivated 600, and the per-rung
-                # adaptive steps cut measurement time well under budget
+                # 1300 s default: a fully WARM-cache 16-rung pass measured
+                # ~60 s/rung of host-side tracing/lowering + ~10-25 s of
+                # measurement on this 1-core host (round-5 solo run at 900
+                # still skipped the 16th rung). The flagship-first
+                # fail-safe above means a driver-side timeout can only
+                # lose rung rows, never the headline line.
                 out["rungs"] = _all_rungs_bench(
-                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "900")))
+                    float(os.environ.get("UIG_BENCH_RUNGS_BUDGET", "1300")))
             print(json.dumps(out))
             return
         except Exception as e:  # try a smaller batch (OOM etc.)
